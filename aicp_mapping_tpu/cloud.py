@@ -1,0 +1,180 @@
+"""Padded, masked point-cloud containers.
+
+TPU-native replacement for the reference's PCL containers and `AlignedCloud`
+(aicp_core/include/aicp_registration/aligned_cloud.hpp:11-70,
+ aicp_core/src/registration/aligned_cloud.cpp). Everything is fixed-capacity
+and mask-validated so that all downstream kernels see static shapes.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .geometry import se3
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class Cloud:
+    """A fixed-capacity point cloud.
+
+    points: (N, 3) float32 — padded entries are arbitrary (usually 0)
+    mask:   (N,)  bool     — True for valid points
+    """
+
+    points: jax.Array
+    mask: jax.Array
+
+    @property
+    def capacity(self) -> int:
+        return self.points.shape[0]
+
+    def count(self) -> jax.Array:
+        return jnp.sum(self.mask.astype(jnp.int32))
+
+    def transform(self, T: jax.Array) -> "Cloud":
+        return Cloud(se3.transform_points(T, self.points), self.mask)
+
+    @staticmethod
+    def from_numpy(arr: np.ndarray, capacity: Optional[int] = None) -> "Cloud":
+        arr = np.asarray(arr, dtype=np.float32).reshape(-1, 3)
+        n = arr.shape[0]
+        cap = capacity if capacity is not None else n
+        if n > cap:
+            # Deterministic uniform subsample to capacity.
+            idx = np.linspace(0, n - 1, cap).astype(np.int64)
+            arr = arr[idx]
+            n = cap
+        pts = np.zeros((cap, 3), dtype=np.float32)
+        pts[:n] = arr
+        mask = np.zeros((cap,), dtype=bool)
+        mask[:n] = True
+        return Cloud(jnp.asarray(pts), jnp.asarray(mask))
+
+    def to_numpy(self) -> np.ndarray:
+        pts = np.asarray(self.points)
+        m = np.asarray(self.mask)
+        return pts[m]
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class NormalCloud:
+    """Cloud with per-point normals and curvature (PCL XYZRGBNormal analog)."""
+
+    points: jax.Array   # (N, 3)
+    normals: jax.Array  # (N, 3)
+    curvature: jax.Array  # (N,)
+    mask: jax.Array     # (N,)
+
+    @property
+    def capacity(self) -> int:
+        return self.points.shape[0]
+
+    def count(self) -> jax.Array:
+        return jnp.sum(self.mask.astype(jnp.int32))
+
+    def as_cloud(self) -> Cloud:
+        return Cloud(self.points, self.mask)
+
+    def transform(self, T: jax.Array) -> "NormalCloud":
+        return NormalCloud(
+            se3.transform_points(T, self.points),
+            se3.rotate_vectors(T, self.normals),
+            self.curvature,
+            self.mask,
+        )
+
+
+@dataclasses.dataclass
+class AlignedCloud:
+    """Host-side record of one accumulated cloud and its poses.
+
+    Mirrors the reference's `AlignedCloud` semantics
+    (aligned_cloud.cpp:6-74): odom pose is never updated; prior pose may be
+    re-seeded; corrected = correction * prior with roll/pitch re-pinned to
+    odometry.
+    """
+
+    utime: int
+    cloud: Cloud
+    odom_pose: jax.Array      # world_to_cloud_odom_ (4, 4)
+    prior_pose: jax.Array     # world_to_cloud_prior_
+    correction: jax.Array     # cloud_to_reference_
+    corrected_pose: jax.Array  # world_to_cloud_corrected_
+    is_reference: bool = False
+    its_reference_id: int = -1
+
+    @staticmethod
+    def create(utime: int, cloud: Cloud, prior_pose: jax.Array) -> "AlignedCloud":
+        prior_pose = jnp.asarray(prior_pose, dtype=jnp.float32)
+        return AlignedCloud(
+            utime=utime,
+            cloud=cloud,
+            odom_pose=prior_pose,
+            prior_pose=prior_pose,
+            correction=se3.identity(),
+            corrected_pose=prior_pose,
+            is_reference=False,
+            its_reference_id=-1,
+        )
+
+    def update(
+        self,
+        cloud: Cloud,
+        correction: Optional[jax.Array] = None,
+        is_reference: bool = False,
+        its_reference_id: Optional[int] = None,
+    ) -> None:
+        """Apply a correction and re-pin roll/pitch (aligned_cloud.cpp:56-74)."""
+        if correction is not None:
+            self.correction = jnp.asarray(correction, dtype=jnp.float32)
+        self.cloud = cloud
+        corrected = se3.compose(self.correction, self.prior_pose)
+        self.corrected_pose = se3.repin_roll_pitch(corrected, self.odom_pose)
+        self.is_reference = is_reference
+        if its_reference_id is not None:
+            self.its_reference_id = its_reference_id
+
+
+class AlignedCloudsGraph:
+    """Append-only list of aligned clouds + current-reference index.
+
+    Reference: aligned_clouds_graph.cpp / aligned_clouds_graph.hpp:10-43
+    ("graph" in name only there; loop-closure edges are added by the new
+    pose-graph backend in aicp_mapping_tpu.parallel.posegraph).
+    """
+
+    def __init__(self) -> None:
+        self.clouds: list[AlignedCloud] = []
+        self.current_reference_id: int = -1
+
+    def is_empty(self) -> bool:
+        return len(self.clouds) == 0
+
+    def initialize(self, reference: AlignedCloud) -> None:
+        reference.is_reference = True
+        reference.its_reference_id = 0
+        self.clouds = [reference]
+        self.current_reference_id = 0
+
+    def add(self, cloud: AlignedCloud) -> None:
+        self.clouds.append(cloud)
+
+    def update_reference(self, idx: int) -> None:
+        self.clouds[idx].is_reference = True
+        self.current_reference_id = idx
+
+    @property
+    def n_clouds(self) -> int:
+        return len(self.clouds)
+
+    def current_reference(self) -> AlignedCloud:
+        return self.clouds[self.current_reference_id]
+
+    def last(self) -> AlignedCloud:
+        return self.clouds[-1]

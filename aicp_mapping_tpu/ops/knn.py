@@ -1,0 +1,198 @@
+"""Nearest-neighbor correspondence search.
+
+This replaces libpointmatcher's KDTreeMatcher (reference:
+aicp_core/config/icp/icp_autotuned.yaml:27-31 `KDTreeMatcher: knn: 1`) with a
+TPU-native tiled brute-force search:
+
+  dist2(i, j) = |q_i|^2 + |r_j|^2 - 2 q_i . r_j
+
+The cross term is a matmul that runs on the MXU; the running min/argmin is
+kept in VMEM while reference tiles stream through. Points are handled in
+structure-of-arrays layout (3, N) inside the kernel so the innermost
+dimension is lane-aligned (128).
+
+Two entry points:
+  - nn_argmin:  1-NN (ICP matching hot loop)
+  - knn:        k-NN via blockwise distances + lax.top_k (normal estimation,
+                reference knn=20/30: icp_autotuned.yaml:12-13,
+                filteringUtils.cpp:22)
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_BIG_F = 3.4e38  # python float: safe to close over inside pallas kernels
+_BIG = jnp.float32(_BIG_F)
+
+
+def _on_tpu() -> bool:
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:  # pragma: no cover
+        return False
+
+
+def _num_blocks(m: int, block: int) -> int:
+    """Largest divisor of m not exceeding ceil(m / block) (static python)."""
+    target = max(-(-m // block), 1)
+    for nb in range(target, 0, -1):
+        if m % nb == 0:
+            return nb
+    return 1
+
+
+# ---------------------------------------------------------------------------
+# XLA fallback (CPU tests / autodiff reference)
+# ---------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnames=("block",))
+def nn_argmin_xla(queries, qmask, refs, rmask, block: int = 1024):
+    """Blockwise 1-NN in plain XLA. Shapes: queries (M,3), refs (N,3)."""
+    M = queries.shape[0]
+    r2 = jnp.sum(refs * refs, axis=-1)
+    r2 = jnp.where(rmask, r2, _BIG)
+
+    nblocks = _num_blocks(M, block)
+    qb = queries.reshape(nblocks, -1, 3)
+
+    def body(q):
+        d = (
+            jnp.sum(q * q, axis=-1)[:, None]
+            - 2.0 * q @ refs.T
+            + r2[None, :]
+        )
+        d = jnp.where(rmask[None, :], d, _BIG)
+        return jnp.min(d, axis=-1), jnp.argmin(d, axis=-1).astype(jnp.int32)
+
+    dists, idx = jax.lax.map(body, qb)
+    dists = dists.reshape(M)
+    idx = idx.reshape(M)
+    dists = jnp.where(qmask, jnp.maximum(dists, 0.0), _BIG)
+    idx = jnp.where(qmask, idx, 0)
+    return dists, idx
+
+
+# ---------------------------------------------------------------------------
+# Pallas TPU kernel
+# ---------------------------------------------------------------------------
+
+def _nn_kernel(qt_ref, rt_ref, rsq_ref, dist_ref, idx_ref, *, tn: int):
+    """One grid step: queries tile (3, TM) vs all refs (3, N), streaming refs
+    in TN chunks. qt/rt are coordinate-major so the matmul contracts dim 0.
+    """
+    n = rt_ref.shape[1]
+    qt = qt_ref[:]                      # (3, TM)
+    q2 = jnp.sum(qt * qt, axis=0)       # (TM,)
+    tm = qt.shape[1]
+
+    def step(c, carry):
+        best_d, best_i = carry
+        r = rt_ref[:, pl.ds(c * tn, tn)]          # (3, TN)
+        r2 = rsq_ref[0, pl.ds(c * tn, tn)]        # (TN,) includes +BIG for pad
+        # (TM, TN) cross terms on the MXU.
+        cross = jax.lax.dot_general(
+            qt, r, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        d = q2[:, None] - 2.0 * cross + r2[None, :]
+        col = jax.lax.broadcasted_iota(jnp.int32, (tm, tn), 1) + c * tn
+        tile_min = jnp.min(d, axis=1)
+        tile_arg = jnp.argmin(d, axis=1).astype(jnp.int32) + c * tn
+        take = tile_min < best_d
+        return (
+            jnp.where(take, tile_min, best_d),
+            jnp.where(take, tile_arg, best_i),
+        )
+
+    init = (jnp.full((tm,), _BIG_F, jnp.float32), jnp.zeros((tm,), jnp.int32))
+    best_d, best_i = jax.lax.fori_loop(0, n // tn, step, init)
+    dist_ref[0, :] = jnp.maximum(best_d, 0.0)
+    idx_ref[0, :] = best_i
+
+
+@partial(jax.jit, static_argnames=("tm", "tn", "interpret"))
+def nn_argmin_pallas(queries, qmask, refs, rmask, tm: int = 512,
+                     tn: int = 1024, interpret: bool = False):
+    """1-NN via the Pallas tiled kernel. M, N must be multiples of tm, tn."""
+    M, N = queries.shape[0], refs.shape[0]
+    assert M % tm == 0 and N % tn == 0, (M, N, tm, tn)
+
+    qt = queries.T.astype(jnp.float32)          # (3, M)
+    rt = refs.T.astype(jnp.float32)             # (3, N)
+    rsq = jnp.sum(rt * rt, axis=0)[None, :]     # (1, N)
+    rsq = jnp.where(rmask[None, :], rsq, _BIG)
+
+    dist, idx = pl.pallas_call(
+        partial(_nn_kernel, tn=tn),
+        grid=(M // tm,),
+        in_specs=[
+            pl.BlockSpec((3, tm), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, N), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, N), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, tm), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tm), lambda i: (0, i), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((1, M), jnp.float32),
+            jax.ShapeDtypeStruct((1, M), jnp.int32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * M * N * 3 + 4 * M * N,
+            bytes_accessed=4 * (3 * M + 3 * N + 2 * M),
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(qt, rt, rsq)
+
+    dist = dist.reshape(M)
+    idx = idx.reshape(M)
+    dist = jnp.where(qmask, dist, _BIG)
+    idx = jnp.where(qmask, idx, 0)
+    return dist, idx
+
+
+def nn_argmin(queries, qmask, refs, rmask):
+    """1-NN: returns (dist2 (M,), index (M,) into refs). Dispatches to the
+    Pallas kernel on TPU when shapes are tile-aligned, else XLA fallback."""
+    M, N = queries.shape[0], refs.shape[0]
+    if _on_tpu() and M % 512 == 0 and N % 1024 == 0:
+        return nn_argmin_pallas(queries, qmask, refs, rmask)
+    return nn_argmin_xla(queries, qmask, refs, rmask)
+
+
+# ---------------------------------------------------------------------------
+# k-NN (blockwise + top_k)
+# ---------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnames=("k", "block"))
+def knn(queries, qmask, refs, rmask, k: int, block: int = 512):
+    """k smallest-distance neighbors. Returns (dist2 (M,k), idx (M,k)).
+
+    Blockwise full distance rows + lax.top_k. Invalid refs get +BIG distance;
+    invalid queries return idx 0 / dist BIG.
+    """
+    M = queries.shape[0]
+    r2 = jnp.sum(refs * refs, axis=-1)
+    r2 = jnp.where(rmask, r2, _BIG)
+    nblocks = _num_blocks(M, block)
+    qb = queries.reshape(nblocks, -1, 3)
+
+    def body(q):
+        d = jnp.sum(q * q, axis=-1)[:, None] - 2.0 * q @ refs.T + r2[None, :]
+        d = jnp.where(rmask[None, :], d, _BIG)
+        neg, idx = jax.lax.top_k(-d, k)
+        return jnp.maximum(-neg, 0.0), idx.astype(jnp.int32)
+
+    dists, idx = jax.lax.map(body, qb)
+    dists = dists.reshape(M, k)
+    idx = idx.reshape(M, k)
+    dists = jnp.where(qmask[:, None], dists, _BIG)
+    idx = jnp.where(qmask[:, None], idx, 0)
+    return dists, idx

@@ -1,0 +1,141 @@
+"""Shape-static voxel-grid operations.
+
+TPU-native replacements for PCL VoxelGrid (reference: filteringUtils.cpp:10-13,
+leaf 0.08 m) and for octomap occupancy voxelization used by the overlap
+estimator (reference: octrees_overlap.cpp:153-241, resolution 0.2 m).
+
+Design: integer-quantize points into a bounded grid anchored at the masked
+minimum corner, pack (ix, iy, iz) into one int32 key, sort keys with a payload
+of point indices, detect segment starts, and reduce per-voxel with
+segment_sum. All shapes are static; validity is carried in masks.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+# Grid extent per axis. 1024^3 = 2^30 keys fits int32. At 0.08 m leaves this
+# spans 81.9 m; at 0.2 m it spans 204 m — both beyond the reference's +/-30 m
+# crop window (velodyne_accumulator.cpp:58-60).
+GRID_BITS = 10
+GRID = 1 << GRID_BITS
+_INVALID_KEY = jnp.int32(2**31 - 1)
+
+
+def voxel_keys(points: jax.Array, mask: jax.Array, voxel_size: float,
+               origin: jax.Array | None = None) -> jax.Array:
+    """Quantize (N, 3) points into packed int32 voxel keys; invalid -> INT_MAX.
+
+    If `origin` is None it is computed as the masked minimum corner.
+    """
+    if origin is None:
+        big = jnp.float32(3.4e38)
+        masked = jnp.where(mask[:, None], points, big)
+        origin = jnp.min(masked, axis=0)
+    ijk = jnp.floor((points - origin) / voxel_size).astype(jnp.int32)
+    ijk = jnp.clip(ijk, 0, GRID - 1)
+    key = (ijk[:, 0] << (2 * GRID_BITS)) | (ijk[:, 1] << GRID_BITS) | ijk[:, 2]
+    return jnp.where(mask, key, _INVALID_KEY)
+
+
+def _sorted_keys_with_index(keys: jax.Array):
+    n = keys.shape[0]
+    idx = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)[:, 0]
+    skeys, sidx = jax.lax.sort((keys, idx), num_keys=1)
+    return skeys, sidx
+
+
+@partial(jax.jit, static_argnames=("capacity",))
+def voxel_downsample(points: jax.Array, mask: jax.Array, voxel_size,
+                     capacity: int):
+    """Centroid voxel-grid downsample (PCL VoxelGrid semantics).
+
+    Returns (out_points (capacity, 3), out_mask (capacity,)). Each output
+    point is the centroid of all valid input points in its voxel. If there are
+    more than `capacity` occupied voxels the overflow voxels are dropped.
+    """
+    keys = voxel_keys(points, mask, voxel_size)
+    skeys, sidx = _sorted_keys_with_index(keys)
+    spoints = points[sidx]
+    valid = skeys != _INVALID_KEY
+
+    prev = jnp.concatenate([jnp.full((1,), -1, dtype=skeys.dtype), skeys[:-1]])
+    is_start = (skeys != prev) & valid
+    # Segment id per sorted point; overflow segments clamp to `capacity`
+    # (an extra trash segment dropped below).
+    seg = jnp.cumsum(is_start.astype(jnp.int32)) - 1
+    seg = jnp.where(valid, jnp.minimum(seg, capacity), capacity)
+
+    w = valid.astype(points.dtype)
+    sums = jax.ops.segment_sum(spoints * w[:, None], seg,
+                               num_segments=capacity + 1)[:capacity]
+    cnts = jax.ops.segment_sum(w, seg, num_segments=capacity + 1)[:capacity]
+    out_mask = cnts > 0
+    out_points = sums / jnp.maximum(cnts, 1.0)[:, None]
+    out_points = jnp.where(out_mask[:, None], out_points, 0.0)
+    return out_points, out_mask
+
+
+@jax.jit
+def unique_voxel_count(points: jax.Array, mask: jax.Array, voxel_size) -> jax.Array:
+    """Number of occupied voxels (octree leaf-count analog)."""
+    keys = voxel_keys(points, mask, voxel_size)
+    skeys, _ = _sorted_keys_with_index(keys)
+    valid = skeys != _INVALID_KEY
+    prev = jnp.concatenate([jnp.full((1,), -1, dtype=skeys.dtype), skeys[:-1]])
+    is_start = (skeys != prev) & valid
+    return jnp.sum(is_start.astype(jnp.int32))
+
+
+@jax.jit
+def voxel_set_overlap(points_a: jax.Array, mask_a: jax.Array,
+                      points_b: jax.Array, mask_b: jax.Array, voxel_size):
+    """Co-occupied voxel statistics between two clouds on a shared grid.
+
+    Returns (n_common, n_a, n_b): counts of common / per-cloud occupied
+    voxels. Replaces the octomap leaf-key intersection of
+    octrees_overlap.cpp:113-151 with a sorted-set intersection.
+    """
+    big = jnp.float32(3.4e38)
+    mins = jnp.minimum(
+        jnp.min(jnp.where(mask_a[:, None], points_a, big), axis=0),
+        jnp.min(jnp.where(mask_b[:, None], points_b, big), axis=0),
+    )
+    keys_a = voxel_keys(points_a, mask_a, voxel_size, origin=mins)
+    keys_b = voxel_keys(points_b, mask_b, voxel_size, origin=mins)
+
+    def unique_sorted(keys):
+        skeys, _ = _sorted_keys_with_index(keys)
+        valid = skeys != _INVALID_KEY
+        prev = jnp.concatenate([jnp.full((1,), -1, dtype=skeys.dtype), skeys[:-1]])
+        is_start = (skeys != prev) & valid
+        uniq = jnp.where(is_start, skeys, _INVALID_KEY)
+        uniq, _ = _sorted_keys_with_index(uniq)  # compact uniques to front
+        return uniq, jnp.sum(is_start.astype(jnp.int32))
+
+    ua, na = unique_sorted(keys_a)
+    ub, nb = unique_sorted(keys_b)
+    # Membership of ua in sorted ub via binary search.
+    pos = jnp.searchsorted(ub, ua)
+    pos = jnp.clip(pos, 0, ub.shape[0] - 1)
+    hit = (ub[pos] == ua) & (ua != _INVALID_KEY)
+    n_common = jnp.sum(hit.astype(jnp.int32))
+    return n_common, na, nb
+
+
+@partial(jax.jit, static_argnames=("capacity",))
+def crop_box(points: jax.Array, mask: jax.Array, T_box: jax.Array,
+             lo, hi, capacity: int | None = None):
+    """Keep points inside an oriented box: |T_box^{-1} p| within [lo, hi].
+
+    Replaces pcl::CropBox usage (filteringUtils.cpp:621-637,
+    velodyne_accumulator.cpp:58-60). Returns an updated mask (same capacity).
+    """
+    from ..geometry import se3
+    local = se3.transform_points(se3.inverse(T_box), points)
+    lo = jnp.asarray(lo, dtype=points.dtype)
+    hi = jnp.asarray(hi, dtype=points.dtype)
+    inside = jnp.all((local >= lo) & (local <= hi), axis=-1)
+    return mask & inside

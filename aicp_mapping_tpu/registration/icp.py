@@ -1,0 +1,174 @@
+"""Auto-tuned trimmed point-to-plane ICP, TPU-native.
+
+Replaces libpointmatcher's YAML-configured ICP chain (reference:
+aicp_core/config/icp/icp_autotuned.yaml and
+src/registration/pointmatcher_registration.cpp:92-151) with a jitted
+`lax.while_loop`:
+
+  matcher:    Pallas tiled brute-force 1-NN (ops.knn) — KDTreeMatcher analog
+  outlier:    TrimmedDistOutlierFilter — keep the `trim_ratio` fraction of
+              matches with smallest squared distance (yaml:33-35); the ratio
+              is a *traced scalar*, replacing the reference's per-frame YAML
+              rewrite auto-tune mechanism (fileIO.cpp:179-213, app.cpp:194-205)
+  minimizer:  PointToPlaneErrorMinimizer — 6x6 normal equations on the MXU
+  checkers:   CounterTransformationChecker(maxIterationCount=20) +
+              DifferentialTransformationChecker(minDiffRotErr=0.001,
+              minDiffTransErr=0.01, smoothLength=4) (yaml:45-51)
+
+All shapes are static; padding is carried in masks. The whole solver is
+differentiable and vmappable.
+"""
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ..geometry import se3
+from ..ops.knn import nn_argmin_pallas, nn_argmin_xla
+from ..ops.quantile import masked_quantile
+
+_BIG = jnp.float32(3.4e38)
+
+
+@dataclasses.dataclass(frozen=True)
+class ICPConfig:
+    """Static solver configuration (icp_autotuned.yaml:45-52 semantics)."""
+
+    max_iterations: int = 20
+    min_diff_trans: float = 0.01   # meters
+    min_diff_rot: float = 0.001    # radians
+    smooth_length: int = 4
+    damping: float = 1e-6          # Levenberg regularization of the 6x6 solve
+    use_pallas: bool | None = None  # None = auto by backend
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class ICPResult:
+    T: jax.Array              # (4, 4) correction: reading -> reference frame
+    n_iterations: jax.Array   # int32
+    inlier_rms: jax.Array     # RMS point-to-plane residual over inliers
+    match_dist2: jax.Array    # (M,) final squared NN distances
+    inlier_mask: jax.Array    # (M,) trimmed-inlier mask
+    hessian: jax.Array        # (6, 6) final normal-equation matrix (for
+                              # degeneracy/ICN prediction, filteringUtils.cpp:580-617)
+
+
+def _nn(queries, qmask, refs, rmask, use_pallas):
+    if use_pallas is None:
+        use_pallas = (
+            jax.default_backend() == "tpu"
+            and queries.shape[0] % 512 == 0
+            and refs.shape[0] % 1024 == 0
+        )
+    if use_pallas:
+        return nn_argmin_pallas(queries, qmask, refs, rmask)
+    return nn_argmin_xla(queries, qmask, refs, rmask)
+
+
+@partial(jax.jit, static_argnames=("config",))
+def point_to_plane_icp(
+    reading_points: jax.Array,   # (M, 3)
+    reading_mask: jax.Array,     # (M,)
+    reference_points: jax.Array,  # (N, 3)
+    reference_normals: jax.Array,  # (N, 3)
+    reference_mask: jax.Array,   # (N,)
+    init_T: jax.Array,           # (4, 4) initial guess reading -> reference
+    trim_ratio: jax.Array,       # scalar in [0, 1] — auto-tuned per frame
+    config: ICPConfig = ICPConfig(),
+) -> ICPResult:
+    """Run trimmed point-to-plane ICP; returns the correction transform.
+
+    The correction T maps reading-frame points into alignment with the
+    reference, i.e. aligned = T @ reading (same convention as the reference's
+    `registerClouds` output `final_transform`).
+    """
+    S = config.smooth_length
+    m_f = reading_mask.astype(jnp.float32)
+
+    def iteration(T):
+        p = se3.transform_points(T, reading_points)
+        dist2, idx = _nn(p, reading_mask, reference_points, reference_mask,
+                         config.use_pallas)
+        thresh = masked_quantile(dist2, reading_mask, trim_ratio)
+        w = m_f * (dist2 <= thresh) * (dist2 < _BIG)
+        q = reference_points[idx]
+        n = reference_normals[idx]
+        r = jnp.sum(n * (p - q), axis=-1)              # point-to-plane residual
+        J = jnp.concatenate([n, jnp.cross(p, n)], axis=-1)  # (M, 6), twist [v, w]
+        Jw = J * w[:, None]
+        A = Jw.T @ J                                    # (6, 6) — MXU
+        b = -(Jw.T @ r)                                 # (6,)
+        lam = config.damping * jnp.trace(A) / 6.0 + 1e-12
+        delta = jnp.linalg.solve(A + lam * jnp.eye(6, dtype=A.dtype), b)
+        return delta, A, dist2, w, r
+
+    def cond(state):
+        T, it, hist_t, hist_r, done = state
+        return jnp.logical_and(it < config.max_iterations, jnp.logical_not(done))
+
+    def body(state):
+        T, it, hist_t, hist_r, done = state
+        delta, A, dist2, w, r = iteration(T)
+        T_new = se3.se3_exp(delta) @ T
+        dt = jnp.linalg.norm(delta[:3])
+        dr = jnp.linalg.norm(delta[3:])
+        hist_t = jnp.roll(hist_t, 1).at[0].set(dt)
+        hist_r = jnp.roll(hist_r, 1).at[0].set(dr)
+        # DifferentialTransformationChecker: smoothed differential motion
+        # below both thresholds -> converged (only once history is full).
+        enough = it + 1 >= S
+        conv = jnp.logical_and(
+            jnp.mean(hist_t) < config.min_diff_trans,
+            jnp.mean(hist_r) < config.min_diff_rot,
+        )
+        done = jnp.logical_and(enough, conv)
+        return (T_new, it + 1, hist_t, hist_r, done)
+
+    init_state = (
+        init_T.astype(jnp.float32),
+        jnp.int32(0),
+        jnp.full((S,), _BIG, jnp.float32),
+        jnp.full((S,), _BIG, jnp.float32),
+        jnp.bool_(False),
+    )
+    T, n_it, _, _, _ = jax.lax.while_loop(cond, body, init_state)
+
+    # Final statistics at the converged transform.
+    delta, A, dist2, w, r = iteration(T)
+    wsum = jnp.maximum(jnp.sum(w), 1.0)
+    inlier_rms = jnp.sqrt(jnp.sum(w * r * r) / wsum)
+    return ICPResult(
+        T=T,
+        n_iterations=n_it,
+        inlier_rms=inlier_rms,
+        match_dist2=dist2,
+        inlier_mask=w > 0,
+        hessian=A,
+    )
+
+
+def degeneracy_predictions(hessian: jax.Array):
+    """Degeneracy + inverse condition number from the ICP Hessian eigenvalues.
+
+    Semantics of `registrationFailurePredictionFilter`
+    (filteringUtils.cpp:580-617): normalize the 6 eigenvalues, take min/max
+    over the *translational* block only; degeneracy = 100 * min, ICN =
+    min/max. The reference disables this path upstream; here it is live.
+    """
+    # Order the Hessian as [v, w]; translational block is [:3].
+    evals_t = jnp.linalg.eigvalsh(hessian[:3, :3])
+    total = jnp.sum(jnp.linalg.eigvalsh(hessian))
+    norm = evals_t / jnp.maximum(total, 1e-12)
+    degeneracy = jnp.min(norm) * 100.0
+    icn = jnp.min(norm) / jnp.maximum(jnp.max(norm), 1e-12)
+    return degeneracy, icn
+
+
+def clamp_trim_ratio(overlap_percent: jax.Array) -> jax.Array:
+    """Auto-tune rule: ratio = overlap/100 clamped to [0.25, 0.70]
+    (reference app.cpp:198-202)."""
+    return jnp.clip(overlap_percent / 100.0, 0.25, 0.70)

@@ -1,0 +1,116 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from aicp_mapping_tpu.cloud import Cloud
+from aicp_mapping_tpu.geometry import se3
+from aicp_mapping_tpu.ops import estimate_normals
+from aicp_mapping_tpu.registration import (
+    ICPConfig,
+    clamp_trim_ratio,
+    degeneracy_predictions,
+    point_to_plane_icp,
+)
+from aicp_mapping_tpu.registration.monitor import hausdorff_distance
+from aicp_mapping_tpu.tools.synthetic import corridor_cloud, cube_cloud, room_cloud
+
+
+def _prep_reference(pts_np, cap):
+    ref = Cloud.from_numpy(pts_np, capacity=cap)
+    normals, _, _ = estimate_normals(ref.points, ref.mask, k=12)
+    return ref, normals
+
+
+def _perturb(seed, trans_sigma=0.1, rot_sigma_deg=5.0):
+    rng = np.random.default_rng(seed)
+    t = rng.normal(0, trans_sigma, 3).astype(np.float32)
+    w = np.deg2rad(rng.normal(0, rot_sigma_deg, 3)).astype(np.float32)
+    return se3.make_transform(se3.so3_exp(jnp.asarray(w)), jnp.asarray(t))
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_cube_self_registration_recovers_identity(seed):
+    """Reference validation harness semantics: register a cube against a
+    perturbed copy of itself; ground truth correction = inverse perturbation
+    (registration_main.cpp:331-343, run_registration_validation.sh)."""
+    pts = cube_cloud(n_per_face=400, size=4.0, seed=0)
+    ref, normals = _prep_reference(pts, 2560)
+    T_pert = _perturb(seed)
+    reading = Cloud(se3.transform_points(T_pert, ref.points), ref.mask)
+
+    result = point_to_plane_icp(
+        reading.points, reading.mask, ref.points, normals, ref.mask,
+        se3.identity(), jnp.float32(0.70),
+    )
+    # correction should equal inverse perturbation
+    err = se3.compose(result.T, T_pert)
+    t_err = float(jnp.linalg.norm(se3.translation(err)))
+    r_err = float(se3.rotation_angle_deg(err))
+    assert t_err < 0.02, t_err
+    assert r_err < 0.5, r_err
+
+
+def test_room_registration_with_noise_and_partial_overlap():
+    pts = room_cloud(n=4800, seed=1, noise=0.01)
+    ref, normals = _prep_reference(pts, 4800)
+    T_pert = _perturb(7, trans_sigma=0.15, rot_sigma_deg=4.0)
+    # Partial overlap: drop 30% of reading points
+    reading_np = np.asarray(ref.points)[: int(4800 * 0.7)]
+    reading = Cloud.from_numpy(reading_np, capacity=4800)
+    reading = Cloud(se3.transform_points(T_pert, reading.points), reading.mask)
+
+    result = point_to_plane_icp(
+        reading.points, reading.mask, ref.points, normals, ref.mask,
+        se3.identity(), jnp.float32(0.60),
+    )
+    err = se3.compose(result.T, T_pert)
+    assert float(jnp.linalg.norm(se3.translation(err))) < 0.05
+    assert float(se3.rotation_angle_deg(err)) < 1.0
+
+
+def test_icp_converges_early():
+    """With an identity perturbation the differential checker should stop
+    well before maxIterationCount=20 (icp_autotuned.yaml:46-52)."""
+    pts = cube_cloud(n_per_face=200, seed=0)
+    ref, normals = _prep_reference(pts, 1280)
+    result = point_to_plane_icp(
+        ref.points, ref.mask, ref.points, normals, ref.mask,
+        se3.identity(), jnp.float32(0.70),
+    )
+    assert int(result.n_iterations) <= 6
+    assert float(result.inlier_rms) < 1e-3
+
+
+def test_clamp_trim_ratio():
+    # app.cpp:198-202 clamp to [0.25, 0.70]
+    assert float(clamp_trim_ratio(jnp.float32(10.0))) == pytest.approx(0.25)
+    assert float(clamp_trim_ratio(jnp.float32(50.0))) == pytest.approx(0.50)
+    assert float(clamp_trim_ratio(jnp.float32(95.0))) == pytest.approx(0.70)
+
+
+def test_degeneracy_detects_corridor():
+    """A corridor (unconstrained x) must have much lower degeneracy value
+    than a room (fully constrained) — filteringUtils.cpp:580-617 semantics."""
+    room = room_cloud(n=3000, seed=2)
+    corr = corridor_cloud(n=3000, seed=2)
+
+    def hessian_for(pts_np):
+        ref, normals = _prep_reference(pts_np, 3072)
+        res = point_to_plane_icp(
+            ref.points, ref.mask, ref.points, normals, ref.mask,
+            se3.identity(), jnp.float32(0.70),
+        )
+        return res.hessian
+
+    deg_room, icn_room = degeneracy_predictions(hessian_for(room))
+    deg_corr, icn_corr = degeneracy_predictions(hessian_for(corr))
+    assert float(deg_corr) < 0.3 * float(deg_room)
+    assert float(icn_corr) < 0.3 * float(icn_room)
+
+
+def test_hausdorff_distance():
+    a = Cloud.from_numpy(np.array([[0, 0, 0], [1, 0, 0]], dtype=np.float32), 4)
+    b = Cloud.from_numpy(np.array([[0, 0, 0.5], [1, 0, 0]], dtype=np.float32), 4)
+    d = hausdorff_distance(a.points, a.mask, b.points, b.mask)
+    assert float(d) == pytest.approx(0.5, abs=1e-5)

@@ -1,0 +1,140 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from aicp_mapping_tpu import ops
+from aicp_mapping_tpu.cloud import Cloud
+
+
+def make_cloud(key, n, cap, spread=5.0):
+    pts = jax.random.uniform(key, (n, 3), minval=-spread, maxval=spread)
+    c = Cloud.from_numpy(np.asarray(pts), capacity=cap)
+    return c
+
+
+# ---------------------------- voxel ----------------------------------------
+
+def test_voxel_downsample_basic():
+    # 8 points in 2 distinct voxels -> 2 centroids
+    pts = np.array(
+        [[0.01, 0.01, 0.01], [0.02, 0.02, 0.02], [0.03, 0.01, 0.02], [0.02, 0.03, 0.01],
+         [1.01, 1.01, 1.01], [1.02, 1.02, 1.02], [1.03, 1.01, 1.02], [1.02, 1.03, 1.01]],
+        dtype=np.float32,
+    )
+    c = Cloud.from_numpy(pts, capacity=16)
+    out, mask = ops.voxel_downsample(c.points, c.mask, 0.5, capacity=8)
+    got = np.asarray(out)[np.asarray(mask)]
+    assert got.shape[0] == 2
+    centroids = np.stack([pts[:4].mean(0), pts[4:].mean(0)])
+    d = np.linalg.norm(got[:, None] - centroids[None], axis=-1)
+    assert d.min(axis=1).max() < 1e-5
+
+
+def test_voxel_downsample_respects_mask():
+    pts = np.array([[0.0, 0.0, 0.0], [5.0, 5.0, 5.0]], dtype=np.float32)
+    c = Cloud.from_numpy(pts, capacity=8)
+    mask = np.asarray(c.mask).copy()
+    mask[1] = False  # invalidate second point
+    out, omask = ops.voxel_downsample(c.points, jnp.asarray(mask), 0.1, capacity=4)
+    assert int(jnp.sum(omask)) == 1
+
+
+def test_unique_voxel_count():
+    pts = np.array([[0.0, 0.0, 0.0], [0.05, 0.05, 0.0], [1.0, 0.0, 0.0],
+                    [0.0, 1.0, 0.0]], dtype=np.float32)
+    c = Cloud.from_numpy(pts, capacity=8)
+    assert int(ops.unique_voxel_count(c.points, c.mask, 0.2)) == 3
+
+
+def test_voxel_set_overlap():
+    a = np.array([[0.0, 0.0, 0.0], [1.0, 0.0, 0.0], [2.0, 0.0, 0.0]], dtype=np.float32)
+    b = np.array([[0.05, 0.0, 0.0], [1.05, 0.0, 0.0], [9.0, 0.0, 0.0]], dtype=np.float32)
+    ca = Cloud.from_numpy(a, capacity=8)
+    cb = Cloud.from_numpy(b, capacity=8)
+    n_common, na, nb = ops.voxel_set_overlap(ca.points, ca.mask, cb.points, cb.mask, 0.2)
+    assert (int(n_common), int(na), int(nb)) == (2, 3, 3)
+
+
+def test_crop_box():
+    pts = np.array([[0.0, 0.0, 0.0], [2.0, 0.0, 0.0], [0.5, 0.5, 0.5]], dtype=np.float32)
+    c = Cloud.from_numpy(pts, capacity=4)
+    from aicp_mapping_tpu.geometry import se3
+    mask = ops.crop_box(c.points, c.mask, se3.identity(), -1.0, 1.0)
+    assert list(np.asarray(mask)) == [True, False, True, False]
+
+
+# ---------------------------- nn / knn --------------------------------------
+
+def test_nn_argmin_xla_matches_bruteforce():
+    key = jax.random.PRNGKey(0)
+    q = make_cloud(key, 100, 128)
+    r = make_cloud(jax.random.PRNGKey(1), 200, 256)
+    dist, idx = ops.nn_argmin_xla(q.points, q.mask, r.points, r.mask, block=32)
+    qn, rn = np.asarray(q.points), np.asarray(r.points)
+    d_full = ((qn[:, None] - rn[None]) ** 2).sum(-1)
+    d_full[:, ~np.asarray(r.mask)] = np.inf
+    m = np.asarray(q.mask)
+    # Chosen index must achieve the true min distance (ties may break either way)
+    chosen = d_full[np.arange(len(qn)), np.asarray(idx)]
+    np.testing.assert_allclose(chosen[m], d_full.min(1)[m], rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(dist)[m], d_full.min(1)[m], rtol=1e-4, atol=1e-4)
+
+
+def test_nn_argmin_pallas_interpret_matches_xla():
+    key = jax.random.PRNGKey(2)
+    M, N = 512, 1024
+    q = jax.random.uniform(key, (M, 3), minval=-3, maxval=3)
+    r = jax.random.uniform(jax.random.PRNGKey(3), (N, 3), minval=-3, maxval=3)
+    qmask = jnp.arange(M) < 400
+    rmask = jnp.arange(N) < 900
+    d1, i1 = ops.nn_argmin_xla(q, qmask, r, rmask)
+    d2, i2 = ops.nn_argmin_pallas(q, qmask, r, rmask, tm=256, tn=256, interpret=True)
+    m = np.asarray(qmask)
+    np.testing.assert_array_equal(np.asarray(i1)[m], np.asarray(i2)[m])
+    np.testing.assert_allclose(np.asarray(d1)[m], np.asarray(d2)[m], rtol=1e-4, atol=1e-4)
+
+
+def test_knn_self_first():
+    c = make_cloud(jax.random.PRNGKey(4), 64, 64)
+    dist, idx = ops.knn(c.points, c.mask, c.points, c.mask, k=4, block=32)
+    np.testing.assert_array_equal(np.asarray(idx)[:, 0], np.arange(64))
+    assert float(jnp.max(dist[:, 0])) < 1e-6
+
+
+# ---------------------------- normals ---------------------------------------
+
+def test_normals_on_plane():
+    key = jax.random.PRNGKey(5)
+    xy = jax.random.uniform(key, (256, 2), minval=-2, maxval=2)
+    pts = jnp.concatenate([xy, jnp.zeros((256, 1))], axis=1)
+    mask = jnp.ones((256,), dtype=bool)
+    normals, curvature, _ = ops.estimate_normals(pts, mask, k=16,
+                                                 viewpoint=jnp.array([0.0, 0.0, 5.0]))
+    nz = np.asarray(normals)[:, 2]
+    assert (nz > 0.99).all()  # oriented toward viewpoint above the plane
+    assert float(jnp.max(curvature)) < 1e-3
+
+
+def test_normals_curvature_on_corner():
+    # Points on two perpendicular planes near the fold have high curvature
+    key = jax.random.PRNGKey(6)
+    a = jax.random.uniform(key, (128, 2), minval=0, maxval=1)
+    plane1 = jnp.stack([a[:, 0], a[:, 1], jnp.zeros(128)], axis=1)
+    plane2 = jnp.stack([a[:, 0], jnp.zeros(128), a[:, 1]], axis=1)
+    pts = jnp.concatenate([plane1, plane2])
+    mask = jnp.ones((256,), dtype=bool)
+    _, curvature, _ = ops.estimate_normals(pts, mask, k=24)
+    assert float(jnp.max(curvature)) > 0.01
+
+
+# ---------------------------- quantile --------------------------------------
+
+def test_masked_quantile():
+    vals = jnp.asarray(np.arange(100, dtype=np.float32))
+    mask = jnp.arange(100) < 50  # valid: 0..49
+    q = ops.masked_quantile(vals, mask, 0.5)
+    assert float(q) == 24.0  # ceil(0.5*50)-1 = 24
+    assert float(ops.masked_quantile(vals, mask, 1.0)) == 49.0
+    assert float(ops.masked_median(vals, mask)) == 24.0
+    assert float(ops.masked_mean(vals, mask)) == np.arange(50).mean()
