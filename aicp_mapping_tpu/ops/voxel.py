@@ -22,6 +22,20 @@ import jax.numpy as jnp
 GRID_BITS = 10
 GRID = 1 << GRID_BITS
 _INVALID_KEY = jnp.int32(2**31 - 1)
+_KEY_BITS = 3 * GRID_BITS
+_KEY_MASK = (1 << _KEY_BITS) - 1
+_MIX_ODD = 0x2545F491  # odd -> bijective multiply mod 2^30
+
+
+def _mix_keys(keys: jax.Array) -> jax.Array:
+    """Bijective pseudo-random permutation of the 30-bit key space.
+
+    Used to decorrelate sort order from spatial position: when the number of
+    occupied voxels exceeds an output capacity, dropping the largest *mixed*
+    keys removes a spatially uniform subset instead of one corner of the
+    scene. Invalid keys (INT32_MAX) stay above the mixed range."""
+    mixed = (keys * jnp.int32(_MIX_ODD)) & jnp.int32(_KEY_MASK)
+    return jnp.where(keys == _INVALID_KEY, _INVALID_KEY, mixed)
 
 
 def voxel_keys(points: jax.Array, mask: jax.Array, voxel_size: float,
@@ -56,7 +70,7 @@ def voxel_downsample(points: jax.Array, mask: jax.Array, voxel_size,
     point is the centroid of all valid input points in its voxel. If there are
     more than `capacity` occupied voxels the overflow voxels are dropped.
     """
-    keys = voxel_keys(points, mask, voxel_size)
+    keys = _mix_keys(voxel_keys(points, mask, voxel_size))
     skeys, sidx = _sorted_keys_with_index(keys)
     spoints = points[sidx]
     valid = skeys != _INVALID_KEY

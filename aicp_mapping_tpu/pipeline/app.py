@@ -1,0 +1,435 @@
+"""The AICP pipeline state machine, TPU-native.
+
+Re-design of `aicp::App` (aicp_core/src/registration/app.cpp, app.hpp:50-105)
+for a host-driven / device-computed split: all per-frame decisions (mode
+switches, gates, reference policy) run in host Python; every hot stage
+(pre-filter, overlap, alignability, ICP) is a shape-static jitted function so
+nothing recompiles across frames.
+
+Per-frame flow (processCloud, app.cpp:282-524):
+  first cloud   -> prefilter, init graph + map            (app.cpp:286-316)
+  set reference -> current ref / prior-map crop / built-map crop (app.cpp:37-75)
+  filter reading-> voxel + planes prefilter               (app.cpp:77-110)
+  overlap       -> occupancy overlap (50.0 fixed in prior-map mode,
+                   app.cpp:123-127)
+  risk          -> FOV overlap + alignability + classifier (app.cpp:143-185)
+  registration  -> auto-tuned trimmed point-to-plane ICP  (app.cpp:187-216)
+                   (skipped when risk > threshold, app.cpp:243-245)
+  accept gate   -> |t| <= max_correction_magnitude per axis else drop
+                   (app.cpp:366-373)
+  graph update  -> windowed reference update every N clouds, or risk-forced
+                   (app.cpp:380-411)
+  compose       -> initialT = correction * initialT        (app.cpp:414)
+  outputs       -> poses/cloud/map via Visualizer          (app.cpp:425-505)
+"""
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..cloud import AlignedCloud, AlignedCloudsGraph, Cloud
+from ..classification.classifier import RiskClassifier
+from ..geometry import se3
+from ..ops.normals import estimate_normals
+from ..ops.segmentation import plane_segmentation_filter
+from ..ops.voxel import crop_box, voxel_downsample
+from ..overlap.alignability import alignability_filter
+from ..overlap.fov import fov_overlap
+from ..overlap.voxel_overlap import compute_overlap
+from ..registration.icp import clamp_trim_ratio, point_to_plane_icp
+from ..registration.monitor import residual_stats
+from ..utils.timing import TimingUtils
+from ..utils.visualizer import NullVisualizer, Visualizer
+from .config import PipelineConfig
+
+
+@dataclasses.dataclass
+class FrameResult:
+    """Per-frame diagnostics — the 21-value result-line analog
+    (aicp_test.cpp:187-198 writes cloud sizes, FOV/octree overlap,
+    alignability, risk and the 4x4 correction)."""
+
+    utime: int
+    reference_id: int
+    reading_id: int
+    octree_overlap: float
+    fov_overlap: float
+    alignability: float
+    risk: float
+    correction: np.ndarray      # (4, 4)
+    accepted: bool
+    registered: bool            # False when risk-gated or first cloud
+    n_iterations: int
+    inlier_rms: float
+    corrected_pose: np.ndarray  # (4, 4)
+    filtered_size: int
+
+
+class App:
+    def __init__(self, config: PipelineConfig,
+                 visualizer: Optional[Visualizer] = None,
+                 classifier: Optional[RiskClassifier] = None):
+        self.cfg = config
+        self.vis = visualizer or NullVisualizer()
+        self.timing = TimingUtils(verbose=config.verbose)
+        self.graph = AlignedCloudsGraph()
+
+        self.classifier = classifier
+        if self.classifier is None and config.classifier_path:
+            self.classifier = RiskClassifier(threshold=config.risk_threshold)
+            self.classifier.load(config.classifier_path)
+
+        # Accumulated total correction (initialT_, app.hpp/app.cpp:414)
+        self.total_correction = np.eye(4, dtype=np.float32)
+        self.updates_counter = 0
+        self.frames: list[FrameResult] = []
+
+        # Prior / built map (host-side append, device-side crop+filter)
+        self.prior_map: Optional[Cloud] = None
+        self.aligned_map_np: np.ndarray = np.zeros((0, 3), np.float32)
+
+        # Per-reference cache: filtered reference + its ICP normals
+        self._ref_cache_key = None
+        self._ref_cache = None
+
+        self._build_stages()
+
+    # ------------------------------------------------------------------
+    # jitted stages (static shapes — compiled once)
+    # ------------------------------------------------------------------
+    def _build_stages(self):
+        cfg = self.cfg
+
+        @jax.jit
+        def prefilter(points, mask, viewpoint):
+            """voxel 0.08 m + planes-only retention
+            (regionGrowingUniformPlaneSegmentationFilter, filteringUtils.cpp:5-45)."""
+            dpts, dmask = voxel_downsample(points, mask, cfg.voxel_size,
+                                           cfg.downsample_capacity)
+            fpts, fmask, fnormals, fcurv, _ = plane_segmentation_filter(
+                dpts, dmask, viewpoint=viewpoint,
+                normal_k=cfg.prefilter_normal_k, graph_k=cfg.graph_k,
+                smoothness_deg=cfg.smoothness_deg,
+                min_cluster_size=cfg.min_cluster_size,
+                out_capacity=cfg.filtered_capacity)
+            return fpts, fmask, fnormals
+
+        @jax.jit
+        def icp_normals(points, mask, viewpoint):
+            """SurfaceNormalDataPointsFilter knn=20 on the reference
+            (icp_autotuned.yaml:18-23)."""
+            normals, _, _ = estimate_normals(points, mask, cfg.icp_normal_k,
+                                             viewpoint)
+            return normals
+
+        @jax.jit
+        def overlap_stage(ref_pts, ref_mask, read_pts, read_mask):
+            return compute_overlap(ref_pts, ref_mask, read_pts, read_mask,
+                                   cfg.octree_resolution)
+
+        @jax.jit
+        def risk_features(ref_pts, ref_mask, ref_pose,
+                          read_pts, read_mask, read_pose):
+            fov, a_in_b, b_in_a = fov_overlap(
+                ref_pts, ref_mask, ref_pose, read_pts, read_mask, read_pose,
+                cfg.sensor_range, cfg.sensor_angular_view)
+            align, _ = alignability_filter(
+                ref_pts, a_in_b, ref_pose, read_pts, b_in_a, read_pose,
+                voxel_size=cfg.voxel_size,
+                ds_capacity=cfg.align_ds_capacity,
+                max_clusters=cfg.align_max_clusters)
+            return fov, align
+
+        @partial(jax.jit, static_argnames=())
+        def register_stage(read_pts, read_mask, ref_pts, ref_normals,
+                           ref_mask, trim_ratio):
+            return point_to_plane_icp(
+                read_pts, read_mask, ref_pts, ref_normals, ref_mask,
+                se3.identity(), trim_ratio, cfg.icp)
+
+        @jax.jit
+        def crop_map_stage(map_pts, map_mask, pose):
+            m = crop_box(map_pts, map_mask, pose,
+                         -cfg.crop_map_around_base, cfg.crop_map_around_base)
+            # compact kept points to filtered capacity
+            n = map_pts.shape[0]
+            key = jnp.where(m, 0, 1).astype(jnp.int32)
+            idx = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)[:, 0]
+            _, perm = jax.lax.sort((key, idx), num_keys=1)
+            perm = perm[:cfg.filtered_capacity]
+            return map_pts[perm], m[perm]
+
+        self._prefilter = prefilter
+        self._icp_normals = icp_normals
+        self._overlap = overlap_stage
+        self._risk_features = risk_features
+        self._register = register_stage
+        self._crop_map = crop_map_stage
+
+    # ------------------------------------------------------------------
+    # public API (App::processCloud / filterCloud / runAicpPipeline analogs)
+    # ------------------------------------------------------------------
+    def filter_cloud(self, cloud: Cloud, viewpoint) -> Cloud:
+        pts, mask, _ = self._prefilter(cloud.points, cloud.mask,
+                                       jnp.asarray(viewpoint, jnp.float32))
+        return Cloud(pts, mask)
+
+    def set_prior_map(self, cloud: Cloud) -> None:
+        """Load-map service analog (app_ros.cpp:280-322): prefilter and store."""
+        filtered = self.filter_cloud(cloud, np.zeros(3, np.float32))
+        # keep at map capacity
+        pts = filtered.to_numpy()
+        self.prior_map = Cloud.from_numpy(pts, capacity=self.cfg.map_capacity)
+
+    def go_back_to_map(self) -> None:
+        """Go-back service analog (app_ros.cpp:324-357): snapshot built map as
+        prior map and flip to localization-only mode."""
+        self.prior_map = Cloud.from_numpy(self.aligned_map_np,
+                                          capacity=self.cfg.map_capacity)
+        self.cfg.localize_against_prior_map = True
+
+    def _set_reference(self, reading: AlignedCloud):
+        """app.cpp:37-75. Returns (ref Cloud, ref pose, ref_id).
+
+        Semantics: in prior-map localization every frame registers against
+        the cropped prior map; with load_map_from_file only the first frame
+        does (first_cloud_initialized_ gate, app.cpp:54-59); built-map mode
+        crops the accumulated aligned map; otherwise the current graph
+        reference is used.
+        """
+        cfg = self.cfg
+        use_map = (cfg.localize_against_prior_map
+                   or ((cfg.load_map_from_file) and self.graph.is_empty()))
+        if use_map:
+            assert self.prior_map is not None, "prior map not loaded"
+            pts, mask = self._crop_map(self.prior_map.points,
+                                       self.prior_map.mask,
+                                       jnp.asarray(reading.prior_pose))
+            return Cloud(pts, mask), reading.prior_pose, -1
+        if cfg.localize_against_built_map:
+            built = Cloud.from_numpy(self.aligned_map_np,
+                                     capacity=self.cfg.map_capacity)
+            pts, mask = self._crop_map(built.points, built.mask,
+                                       jnp.asarray(reading.prior_pose))
+            return Cloud(pts, mask), reading.prior_pose, -1
+        ref = self.graph.current_reference()
+        return (ref.cloud, ref.corrected_pose,
+                self.graph.current_reference_id)
+
+    def _reference_with_normals(self, ref: Cloud, ref_pose, ref_id):
+        """Cache ICP normals per reference identity."""
+        key = (ref_id, id(ref.points))
+        if self._ref_cache_key != key:
+            normals = self._icp_normals(
+                ref.points, ref.mask, se3.translation(jnp.asarray(ref_pose)))
+            self._ref_cache = normals
+            self._ref_cache_key = key
+        return self._ref_cache
+
+    def process_cloud(self, cloud: AlignedCloud) -> Optional[FrameResult]:
+        cfg = self.cfg
+        t = self.timing
+
+        # ---------------- first cloud bootstrap (app.cpp:286-316) ----------
+        if (not cfg.localize_against_prior_map and not cfg.load_map_from_file
+                and self.graph.is_empty()):
+            filtered = self.filter_cloud(
+                cloud.cloud, se3.translation(cloud.prior_pose))
+            cloud.update(filtered, is_reference=True, its_reference_id=0)
+            self.graph.initialize(cloud)
+            ref_np = filtered.to_numpy()
+            self.vis.publish_cloud(ref_np, 0, "", cloud.utime)
+            self.vis.publish_pose(np.asarray(cloud.corrected_pose), 0, "",
+                                  cloud.utime)
+            self.aligned_map_np = ref_np
+            self.vis.publish_map(self.aligned_map_np, cloud.utime, 1)
+            res = FrameResult(
+                utime=cloud.utime, reference_id=0, reading_id=0,
+                octree_overlap=-1.0, fov_overlap=-1.0, alignability=-1.0,
+                risk=-1.0, correction=np.eye(4, dtype=np.float32),
+                accepted=True, registered=False, n_iterations=0,
+                inlier_rms=0.0,
+                corrected_pose=np.asarray(cloud.corrected_pose),
+                filtered_size=int(filtered.count()))
+            self.frames.append(res)
+            return res
+
+        t.tic()  # fullLoop
+
+        # ---------------- input (app.cpp:327-351) --------------------------
+        ref_cloud, ref_pose, ref_id = self._set_reference(cloud)
+
+        read_pose = cloud.prior_pose
+        reading_raw = cloud.cloud
+        if cfg.working_mode != "robot":
+            # debug mode: integrate accumulated correction into the reading
+            # (setAndFilterReading, app.cpp:86-96)
+            T0 = jnp.asarray(self.total_correction)
+            reading_raw = reading_raw.transform(T0)
+            read_pose = se3.compose(T0, read_pose)
+            cloud.prior_pose = read_pose
+            cloud.corrected_pose = read_pose
+
+        with t.section("setAndFilterReading"):
+            read_f = self.filter_cloud(reading_raw, se3.translation(read_pose))
+
+        # ---------------- overlap (app.cpp:112-141) ------------------------
+        with t.section("computeOverlap"):
+            if cfg.localize_against_prior_map:
+                octree_overlap = 50.0  # fixed in prior-map mode (app.cpp:123-127)
+            else:
+                ov = self._overlap(ref_cloud.points, ref_cloud.mask,
+                                   read_f.points, read_f.mask)
+                octree_overlap = float(ov.overlap_percent)
+
+        # ---------------- alignment risk (app.cpp:143-185) -----------------
+        fov = -1.0
+        align = -1.0
+        risk = -1.0
+        if cfg.failure_prediction_mode:
+            with t.section("computeAlignmentRisk"):
+                fov_j, align_j = self._risk_features(
+                    ref_cloud.points, ref_cloud.mask, jnp.asarray(ref_pose),
+                    read_f.points, read_f.mask, jnp.asarray(read_pose))
+                fov, align = float(fov_j), float(align_j)
+                if self.classifier is not None:
+                    probs = self.classifier.test(
+                        np.array([[octree_overlap, align]], np.float32))
+                    risk = float(np.asarray(probs).reshape(-1)[0])
+                self.vis.publish_metric("fov_overlap", fov, cloud.utime)
+                self.vis.publish_metric("alignability", align, cloud.utime)
+                self.vis.publish_metric("alignment_risk", risk, cloud.utime)
+        self.vis.publish_metric("octree_overlap", octree_overlap, cloud.utime)
+
+        # ---------------- registration (app.cpp:187-216, 236-246) ----------
+        correction = np.eye(4, dtype=np.float32)
+        registered = False
+        n_iter = 0
+        rms = 0.0
+        risk_ok = (not cfg.failure_prediction_mode) or (risk <= cfg.risk_threshold)
+        if risk_ok:
+            with t.section("computeRegistration"):
+                ref_normals = self._reference_with_normals(
+                    ref_cloud, ref_pose, ref_id)
+                ratio = clamp_trim_ratio(jnp.float32(octree_overlap))
+                result = self._register(read_f.points, read_f.mask,
+                                        ref_cloud.points, ref_normals,
+                                        ref_cloud.mask, ratio)
+                correction = np.asarray(result.T)
+                n_iter = int(result.n_iterations)
+                rms = float(result.inlier_rms)
+                registered = True
+
+        # ---------------- accept gate + graph update (app.cpp:361-412) -----
+        accepted = True
+        if risk_ok:
+            if (np.any(np.abs(correction[:3, 3]) > cfg.max_correction_magnitude)
+                    and self.graph.n_clouds != 0):
+                # WRONG ALIGNMENT: DROPPED POINT CLOUD (app.cpp:366-373)
+                accepted = False
+                t.toc("fullLoop")
+                res = FrameResult(
+                    utime=cloud.utime, reference_id=ref_id,
+                    reading_id=self.graph.n_clouds,
+                    octree_overlap=octree_overlap, fov_overlap=fov,
+                    alignability=align, risk=risk, correction=correction,
+                    accepted=False, registered=registered,
+                    n_iterations=n_iter, inlier_rms=rms,
+                    corrected_pose=np.asarray(cloud.corrected_pose),
+                    filtered_size=int(read_f.count()))
+                self.frames.append(res)
+                return res
+
+            aligned = read_f.transform(jnp.asarray(correction))
+            cloud.update(aligned, jnp.asarray(correction),
+                         is_reference=False,
+                         its_reference_id=self.graph.current_reference_id)
+            self.graph.add(cloud)
+
+            # Windowed reference update (app.cpp:382-391)
+            since_ref = (self.graph.n_clouds
+                         - (self.graph.current_reference_id + 1))
+            if (since_ref % cfg.reference_update_frequency == 0
+                    and not cfg.localize_against_prior_map):
+                self.graph.update_reference(self.graph.n_clouds - 1)
+                self.updates_counter += 1
+            elif (cfg.load_map_from_file
+                  and not cfg.localize_against_prior_map
+                  and self.graph.n_clouds == 1):
+                # reference was the loaded map only for the first iteration
+                # (app.cpp:392-399)
+                self.graph.update_reference(self.graph.n_clouds - 1)
+        else:
+            # High risk: trust the prior for one step, force reference update
+            # (app.cpp:401-411)
+            cloud.update(read_f, is_reference=True,
+                         its_reference_id=self.graph.current_reference_id)
+            self.graph.add(cloud)
+            self.graph.update_reference(self.graph.n_clouds - 1)
+            self.updates_counter += 1
+
+        # ---------------- compose + outputs (app.cpp:414-505) ---------------
+        self.total_correction = correction @ self.total_correction
+
+        last = self.graph.last()
+        path = self.vis.get_path()
+        rel = np.linalg.inv(path[-1]) @ np.asarray(last.corrected_pose)
+        if np.linalg.norm(rel[:3, 3]) > 1.0:  # marker thinning (app.cpp:427-431)
+            self.vis.publish_pose(np.asarray(last.corrected_pose), 0, "",
+                                  cloud.utime)
+            self.vis.publish_prior_pose(np.asarray(last.prior_pose), 0, "",
+                                        cloud.utime)
+            self.vis.publish_odom_pose(np.asarray(last.odom_pose), 0, "",
+                                       cloud.utime)
+            odom_to_map = np.linalg.inv(
+                np.asarray(last.corrected_pose)
+                @ np.linalg.inv(np.asarray(last.odom_pose)))
+            self.vis.publish_odom_to_map(odom_to_map, cloud.utime)
+
+        if last.is_reference and accepted:
+            ref_np = last.cloud.to_numpy()
+            self.vis.publish_cloud(ref_np, 0, "", cloud.utime)
+            self.aligned_map_np = np.concatenate(
+                [self.aligned_map_np, ref_np])
+            self.vis.publish_map(self.aligned_map_np, cloud.utime, 1)
+        elif (cfg.localize_against_prior_map
+              and (self.graph.n_clouds - 1) % cfg.reference_update_frequency == 0):
+            self.vis.publish_pose(np.asarray(last.corrected_pose), 0, "",
+                                  cloud.utime)
+            if cfg.merge_aligned_clouds_to_map and self.prior_map is not None:
+                merged = np.concatenate(
+                    [self.prior_map.to_numpy(), last.cloud.to_numpy()])
+                self.prior_map = Cloud.from_numpy(
+                    merged, capacity=self.cfg.map_capacity)
+
+        # Amortized prior-map re-filter every 30 clouds (app.cpp:485-493)
+        if (cfg.localize_against_prior_map and cfg.merge_aligned_clouds_to_map
+                and (self.graph.n_clouds - 1) % 30 == 0
+                and self.prior_map is not None):
+            refiltered = self.filter_cloud(self.prior_map,
+                                           np.zeros(3, np.float32))
+            self.prior_map = Cloud.from_numpy(refiltered.to_numpy(),
+                                              capacity=self.cfg.map_capacity)
+
+        t.toc("fullLoop")
+        res = FrameResult(
+            utime=cloud.utime, reference_id=ref_id,
+            reading_id=self.graph.n_clouds - 1,
+            octree_overlap=octree_overlap, fov_overlap=fov,
+            alignability=align, risk=risk, correction=correction,
+            accepted=accepted, registered=registered, n_iterations=n_iter,
+            inlier_rms=rms, corrected_pose=np.asarray(last.corrected_pose),
+            filtered_size=int(read_f.count()))
+        self.frames.append(res)
+        return res
+
+    # Corrected-pose output path (robotPoseCallBack analog,
+    # app_ros.cpp:68-149): compose live odometry with the latest total
+    # correction without waiting for a registration.
+    def correct_pose(self, world_to_body: np.ndarray) -> np.ndarray:
+        return self.total_correction @ np.asarray(world_to_body, np.float32)

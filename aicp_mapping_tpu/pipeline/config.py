@@ -1,0 +1,94 @@
+"""Configuration for the AICP pipeline.
+
+Typed replacement of the reference's three-layer config system
+(SURVEY.md §5.6): `CommandLineConfig` + Registration/Overlap/Classification
+param structs (app.hpp:24-46, aicp_registration/common.hpp:7-23,
+aicp_overlap/common.hpp:7-16, aicp_classification/common.hpp:38-50), parsed
+from the same AICP YAML schema (yaml_configurator.cpp:9-108,
+config/aicp_config.yaml). The ICP chain itself is configured by
+`registration.ICPConfig`; the per-frame trim-ratio auto-tune is a traced
+runtime parameter, not a YAML rewrite (design delta, SURVEY.md §7).
+"""
+from __future__ import annotations
+
+import dataclasses
+
+from ..registration.icp import ICPConfig
+
+
+@dataclasses.dataclass
+class PipelineConfig:
+    # --- CommandLineConfig analog (app.hpp:24-46, aicp_ros_node.cpp:46-100) ---
+    working_mode: str = "robot"            # "robot" | "debug" (sim correction)
+    failure_prediction_mode: bool = False
+    reference_update_frequency: int = 5    # aicp_ros_node.cpp:27
+    max_correction_magnitude: float = 0.5  # meters/axis, aicp_ros_node.cpp:28
+    crop_map_around_base: float = 8.0
+    load_map_from_file: bool = False
+    localize_against_prior_map: bool = False
+    localize_against_built_map: bool = False
+    merge_aligned_clouds_to_map: bool = False
+    verbose: bool = False
+
+    # --- RegistrationParams (aicp_registration/common.hpp:7-23) ---
+    sensor_range: float = 100.0            # aicp_config.yaml:4
+    sensor_angular_view: float = 360.0     # aicp_config.yaml:5
+    load_poses_from: str = ""
+    initial_transform: str = ""
+
+    # --- OverlapParams (aicp_overlap/common.hpp:7-16) ---
+    octree_resolution: float = 0.2         # aicp_config.yaml:21
+
+    # --- ClassificationParams (aicp_classification/common.hpp:38-50) ---
+    risk_threshold: float = 0.50           # aicp_config.yaml:28
+    classifier_path: str = ""              # saved RiskClassifier .npz
+
+    # --- pre-filter (filteringUtils.cpp:5-45) ---
+    voxel_size: float = 0.08
+    prefilter_normal_k: int = 30
+    graph_k: int = 15
+    smoothness_deg: float = 3.0
+    min_cluster_size: int = 50
+
+    # --- ICP chain (icp_autotuned.yaml) ---
+    icp: ICPConfig = dataclasses.field(default_factory=ICPConfig)
+    icp_normal_k: int = 20                 # SurfaceNormalDataPointsFilter knn
+
+    # --- static capacities (TPU shape budget; powers of two for tiling) ---
+    raw_capacity: int = 131072
+    downsample_capacity: int = 32768
+    filtered_capacity: int = 8192
+    map_capacity: int = 262144
+
+    # --- alignability ---
+    align_ds_capacity: int = 4096
+    align_max_clusters: int = 32
+
+
+def load_yaml_config(path: str, base: PipelineConfig | None = None) -> PipelineConfig:
+    """Parse the reference AICP YAML schema into a PipelineConfig."""
+    import yaml
+
+    cfg = dataclasses.replace(base) if base else PipelineConfig()
+    with open(path) as f:
+        doc = yaml.safe_load(f) or {}
+    aicp = doc.get("AICP", doc)
+
+    reg = aicp.get("Registration", {}) or {}
+    cfg.sensor_range = float(reg.get("sensorRange", cfg.sensor_range))
+    cfg.sensor_angular_view = float(
+        reg.get("sensorAngularView", cfg.sensor_angular_view))
+    cfg.load_poses_from = str(reg.get("loadPosesFrom", cfg.load_poses_from) or "")
+    cfg.initial_transform = str(
+        reg.get("initialTransform", cfg.initial_transform) or "")
+
+    ovl = aicp.get("Overlap", {}) or {}
+    ob = ovl.get("OctreeBased", {}) or {}
+    cfg.octree_resolution = float(
+        ob.get("octomapResolution", cfg.octree_resolution))
+
+    cls = aicp.get("Classifier", {}) or {}
+    svm = cls.get("SVM", {}) or {}
+    cfg.risk_threshold = float(svm.get("threshold", cfg.risk_threshold))
+    cfg.classifier_path = str(svm.get("saveFile", cfg.classifier_path) or "")
+    return cfg

@@ -1,0 +1,133 @@
+"""Offline sequence runner + recorder — the deterministic record/replay
+harness (SURVEY.md §3.3).
+
+Runner = `App::processFromFile` analog (app.cpp:250-279): reads
+`aicp_input_poses.csv` + `cloud_<i>_<sec>_<nsec>.pcd` from a directory and
+feeds each cloud through the pipeline. Recorder = `AppROS::writeCloudToFile`
+analog (app_ros.cpp:152-175). Also includes a synthetic-sequence generator
+(a simulated trajectory through a room world with odometry drift) used by
+tests and benchmarks.
+"""
+from __future__ import annotations
+
+import os
+from typing import Iterable, Optional
+
+import numpy as np
+
+from ..cloud import AlignedCloud, Cloud
+from ..geometry import se3
+from ..io.pcd import read_pcd, write_pcd
+from ..io.poses import PoseWithTime, read_pose_csv, write_pose_csv
+from .app import App, FrameResult
+
+
+class SequenceRunner:
+    def __init__(self, app: App, raw_capacity: Optional[int] = None):
+        self.app = app
+        self.raw_capacity = raw_capacity or app.cfg.raw_capacity
+
+    def run_directory(self, directory: str) -> list[FrameResult]:
+        poses = read_pose_csv(os.path.join(directory, "aicp_input_poses.csv"))
+        results = []
+        for p in poses:
+            path = os.path.join(
+                directory, f"cloud_{p.counter}_{p.sec}_{p.nsec}.pcd")
+            pts, _ = read_pcd(path)
+            cloud = Cloud.from_numpy(pts, capacity=self.raw_capacity)
+            ac = AlignedCloud.create(p.utime, cloud, p.pose)
+            results.append(self.app.process_cloud(ac))
+        return results
+
+    def run_clouds(self, items: Iterable[tuple[int, np.ndarray, np.ndarray]]
+                   ) -> list[FrameResult]:
+        """items: (utime, points (N,3), prior_pose (4,4))."""
+        results = []
+        for utime, pts, pose in items:
+            cloud = Cloud.from_numpy(pts, capacity=self.raw_capacity)
+            ac = AlignedCloud.create(utime, cloud, np.asarray(pose, np.float32))
+            results.append(self.app.process_cloud(ac))
+        return results
+
+
+class SequenceRecorder:
+    """Writes clouds + the pose CSV in the replayable layout."""
+
+    def __init__(self, directory: str):
+        self.directory = directory
+        os.makedirs(directory, exist_ok=True)
+        self._poses: list[PoseWithTime] = []
+        self._counter = 0
+
+    def record(self, utime: int, points: np.ndarray, pose: np.ndarray) -> None:
+        sec = utime // 1_000_000
+        nsec = utime - sec * 1_000_000
+        p = PoseWithTime(self._counter, int(sec), int(nsec),
+                         np.asarray(pose, np.float32))
+        self._poses.append(p)
+        write_pcd(os.path.join(
+            self.directory, f"cloud_{p.counter}_{p.sec}_{p.nsec}.pcd"),
+            points)
+        self._counter += 1
+        write_pose_csv(os.path.join(self.directory, "aicp_input_poses.csv"),
+                       self._poses)
+
+
+def synthetic_sequence(
+    n_frames: int = 10,
+    n_points: int = 8000,
+    step: float = 0.8,
+    yaw_rate_deg: float = 4.0,
+    drift_per_frame: float = 0.03,
+    drift_yaw_deg: float = 0.4,
+    noise: float = 0.01,
+    seed: int = 0,
+    world_size: float = 18.0,
+    sensor_range: float = 14.0,
+):
+    """Simulated lidar walk through a room world with odometry drift.
+
+    Returns (items, gt_poses): items = (utime, points_in_odom_frame, odom_pose)
+    ready for SequenceRunner.run_clouds; gt_poses are the true world poses.
+    The odometry drifts so the pipeline has something to correct — mirroring
+    the AICP operating regime (corrections bounded by
+    max_correction_magnitude per frame).
+    """
+    import jax.numpy as jnp
+    from ..tools.synthetic import room_cloud
+
+    rng = np.random.default_rng(seed)
+    world = room_cloud(n=60000, size=world_size, seed=seed, noise=noise)
+
+    items = []
+    gt_poses = []
+    T_true = np.eye(4, dtype=np.float32)
+    T_odom = np.eye(4, dtype=np.float32)
+    for i in range(n_frames):
+        # true motion: forward + yaw
+        dyaw = np.deg2rad(yaw_rate_deg)
+        delta = np.asarray(se3.make_transform(
+            se3.so3_exp(jnp.asarray([0.0, 0.0, dyaw], dtype=np.float32)),
+            jnp.asarray([step, 0.0, 0.0], dtype=np.float32)))
+        T_true = T_true @ delta
+        # odometry: same motion plus drift
+        drift_t = rng.normal(0, drift_per_frame, 3).astype(np.float32)
+        drift_t[2] *= 0.1
+        dw = np.deg2rad(rng.normal(0, drift_yaw_deg))
+        drift = np.asarray(se3.make_transform(
+            se3.so3_exp(jnp.asarray([0.0, 0.0, dw], dtype=np.float32)),
+            jnp.asarray(drift_t)))
+        T_odom = T_odom @ delta @ drift
+
+        # scan: world points within sensor range of the true pose,
+        # expressed in the odom frame (what the accumulator would output:
+        # velodyne_accumulator.cpp:62-67 transforms scans into odom).
+        d = np.linalg.norm(world - T_true[:3, 3], axis=1)
+        visible = world[d < sensor_range]
+        if len(visible) > n_points:
+            visible = visible[rng.choice(len(visible), n_points, replace=False)]
+        local = (visible - T_true[:3, 3]) @ T_true[:3, :3]
+        in_odom = local @ T_odom[:3, :3].T + T_odom[:3, 3]
+        items.append((i * 1_000_000, in_odom.astype(np.float32), T_odom.copy()))
+        gt_poses.append(T_true.copy())
+    return items, np.stack(gt_poses)

@@ -1,0 +1,53 @@
+import numpy as np
+import pytest
+
+from aicp_mapping_tpu.classification import RiskClassifier, load_label_file
+
+
+def synthetic_labels(n=400, seed=0):
+    """Risk is high when overlap and alignability are both low — the
+    qualitative structure of the reference's labelled sets
+    (data/labels/*.txt: id overlap alignability label)."""
+    rng = np.random.default_rng(seed)
+    overlap = rng.uniform(0, 100, n)
+    align = rng.uniform(0, 30, n)
+    score = overlap / 100.0 + align / 30.0
+    labels = (score < 0.8).astype(np.float32)  # failure when poorly constrained
+    feats = np.stack([overlap, align], axis=1).astype(np.float32)
+    return feats, labels
+
+
+def test_train_and_separate():
+    X, y = synthetic_labels()
+    clf = RiskClassifier(threshold=0.5)
+    clf.train(X, y, steps=2000)
+    probs, stats = clf.test(X, y)
+    assert stats["accuracy"] > 0.95, stats
+    # risky sample (low overlap + low alignability) scores high
+    p_risky = float(np.asarray(clf.test(np.array([[5.0, 1.0]]))))
+    p_safe = float(np.asarray(clf.test(np.array([[90.0, 25.0]]))))
+    assert p_risky > 0.8
+    assert p_safe < 0.2
+
+
+def test_save_load_roundtrip(tmp_path):
+    X, y = synthetic_labels(200, seed=1)
+    clf = RiskClassifier()
+    clf.train(X, y, steps=1000)
+    p1 = np.asarray(clf.test(X[:10]))
+    path = str(tmp_path / "svm_model.npz")
+    clf.save(path)
+    clf2 = RiskClassifier()
+    clf2.load(path)
+    p2 = np.asarray(clf2.test(X[:10]))
+    np.testing.assert_allclose(p1, p2, rtol=1e-6)
+
+
+def test_label_file_parsing(tmp_path):
+    # the reference's data/labels format: id overlap alignability label
+    p = tmp_path / "labels.txt"
+    p.write_text("0 76.67 0.124 0\n1 73.20 0.131 0 \n2 12.1 0.05 1\n")
+    X, y = load_label_file(str(p))
+    assert X.shape == (3, 2)
+    np.testing.assert_allclose(X[0], [76.67, 0.124], rtol=1e-5)
+    np.testing.assert_array_equal(y, [0, 0, 1])

@@ -1,0 +1,169 @@
+import numpy as np
+import pytest
+
+from aicp_mapping_tpu.cloud import Cloud
+from aicp_mapping_tpu.pipeline import (
+    App,
+    PipelineConfig,
+    SequenceRecorder,
+    SequenceRunner,
+    load_yaml_config,
+    synthetic_sequence,
+)
+from aicp_mapping_tpu.utils.visualizer import RecordingVisualizer
+
+
+def small_config(**kw) -> PipelineConfig:
+    cfg = PipelineConfig(
+        working_mode="debug",
+        raw_capacity=8192,
+        downsample_capacity=4096,
+        filtered_capacity=2048,
+        map_capacity=16384,
+        align_ds_capacity=1024,
+        align_max_clusters=8,
+        min_cluster_size=30,
+    )
+    for k, v in kw.items():
+        setattr(cfg, k, v)
+    return cfg
+
+
+@pytest.fixture(scope="module")
+def seq():
+    return synthetic_sequence(n_frames=8, n_points=6000, seed=0)
+
+
+def _pose_errors(frames, gt_poses):
+    errs = []
+    for fr, gt in zip(frames, gt_poses):
+        errs.append(np.linalg.norm(fr.corrected_pose[:3, 3] - gt[:3, 3]))
+    return np.array(errs)
+
+
+def test_mapping_corrects_drift(seq):
+    """Frame-to-reference mapping on a drifting-odometry sequence must track
+    the true trajectory much better than raw odometry does."""
+    items, gt = seq
+    app = App(small_config())
+    runner = SequenceRunner(app)
+    frames = runner.run_clouds(items)
+
+    assert all(f is not None for f in frames)
+    assert all(f.accepted for f in frames)
+
+    corrected_err = _pose_errors(frames, gt)
+    odom_err = np.array([
+        np.linalg.norm(item[2][:3, 3] - g[:3, 3]) for item, g in zip(items, gt)
+    ])
+    # odometry drifts; corrected poses stay close
+    assert odom_err[-1] > 0.02
+    assert corrected_err[-1] < 0.6 * odom_err[-1] + 0.01, (
+        corrected_err, odom_err)
+    assert corrected_err[-1] < 0.08
+
+
+def test_windowed_reference_update(seq):
+    items, _ = seq
+    cfg = small_config(reference_update_frequency=3)
+    app = App(cfg)
+    SequenceRunner(app).run_clouds(items)
+    # 8 frames: frame 0 = ref 0; updates at clouds 3, 6 (every 3 readings)
+    ref_flags = [c.is_reference for c in app.graph.clouds]
+    assert ref_flags[0] is True
+    assert sum(ref_flags) >= 3
+    assert app.updates_counter >= 2
+
+
+def test_correction_gate_drops_bad_frames(seq):
+    items, _ = seq
+    cfg = small_config(max_correction_magnitude=1e-6)
+    app = App(cfg)
+    frames = SequenceRunner(app).run_clouds(items)
+    # With an impossible gate every non-first frame is dropped
+    assert frames[0].accepted
+    assert not any(f.accepted for f in frames[1:])
+    assert app.graph.n_clouds == 1
+
+
+def test_localization_against_prior_map(seq):
+    items, gt = seq
+    # Build a prior map from the whole world seen by the sequence
+    world = np.concatenate([it[1] for it in items])
+    cfg = small_config(localize_against_prior_map=True,
+                       crop_map_around_base=20.0)
+    app = App(cfg)
+    app.set_prior_map(Cloud.from_numpy(world, capacity=32768))
+    frames = SequenceRunner(app).run_clouds(items)
+    assert all(f is not None for f in frames)
+    assert all(f.octree_overlap == 50.0 for f in frames)  # fixed (app.cpp:123-127)
+    # no reference updates in prior-map localization
+    assert app.updates_counter == 0
+
+
+def test_record_replay_determinism(tmp_path, seq):
+    """record/replay harness (SURVEY.md §3.3): replay produces identical
+    corrected poses."""
+    items, _ = seq
+    rec = SequenceRecorder(str(tmp_path))
+    for utime, pts, pose in items[:4]:
+        rec.record(utime, pts, pose)
+
+    app1 = App(small_config())
+    frames1 = SequenceRunner(app1).run_directory(str(tmp_path))
+    app2 = App(small_config())
+    frames2 = SequenceRunner(app2).run_directory(str(tmp_path))
+    for f1, f2 in zip(frames1, frames2):
+        np.testing.assert_array_equal(f1.corrected_pose, f2.corrected_pose)
+
+
+def test_visualizer_outputs(seq):
+    items, _ = seq
+    vis = RecordingVisualizer()
+    app = App(small_config(), visualizer=vis)
+    SequenceRunner(app).run_clouds(items)
+    assert len(vis.maps) >= 2          # first cloud + reference updates
+    assert len(vis.poses) >= 1
+    assert "octree_overlap" in vis.metrics
+
+
+def test_correct_pose_composition(seq):
+    items, _ = seq
+    app = App(small_config())
+    SequenceRunner(app).run_clouds(items)
+    # robotPoseCallBack analog: corrected = total_correction * world_to_body
+    wb = np.eye(4, dtype=np.float32)
+    wb[:3, 3] = [1, 2, 3]
+    out = app.correct_pose(wb)
+    np.testing.assert_allclose(out, app.total_correction @ wb, atol=1e-6)
+
+
+def test_yaml_config_parsing(tmp_path):
+    p = tmp_path / "aicp_config.yaml"
+    p.write_text(
+        """
+AICP: {
+  Registration: {
+    type: "Pointmatcher",
+    sensorRange: 15.0,
+    sensorAngularView: 270.0,
+    loadPosesFrom: "pcd",
+    initialTransform: "",
+  },
+  Overlap: {
+    type: "OctreeBased",
+    OctreeBased: { octomapResolution: 0.25 },
+  },
+  Classifier: {
+    type: "SVM",
+    SVM: { threshold: 0.65 },
+  }
+}
+"""
+    )
+    cfg = load_yaml_config(str(p))
+    assert cfg.sensor_range == 15.0
+    assert cfg.sensor_angular_view == 270.0
+    assert cfg.load_poses_from == "pcd"
+    assert cfg.octree_resolution == 0.25
+    assert cfg.risk_threshold == 0.65
