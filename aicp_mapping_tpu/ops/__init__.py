@@ -8,3 +8,4 @@ from .voxel import (  # noqa: F401
     voxel_keys,
     voxel_set_overlap,
 )
+from .normals import normals_from_neighbors  # noqa: F401

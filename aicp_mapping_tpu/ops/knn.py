@@ -171,12 +171,16 @@ def nn_argmin(queries, qmask, refs, rmask):
 # k-NN (blockwise + top_k)
 # ---------------------------------------------------------------------------
 
-@partial(jax.jit, static_argnames=("k", "block"))
-def knn(queries, qmask, refs, rmask, k: int, block: int = 512):
+@partial(jax.jit, static_argnames=("k", "block", "approx"))
+def knn(queries, qmask, refs, rmask, k: int, block: int = 512,
+        approx: bool = False):
     """k smallest-distance neighbors. Returns (dist2 (M,k), idx (M,k)).
 
-    Blockwise full distance rows + lax.top_k. Invalid refs get +BIG distance;
-    invalid queries return idx 0 / dist BIG.
+    Blockwise full distance rows + top_k. With approx=True uses the TPU's
+    hardware-accelerated `jax.lax.approx_min_k` (PartialReduce) — much
+    faster, ~0.95 recall; appropriate for normal-estimation and
+    region-growing neighborhoods where approximate neighbors are fine.
+    Invalid refs get +BIG distance; invalid queries return idx 0 / dist BIG.
     """
     M = queries.shape[0]
     r2 = jnp.sum(refs * refs, axis=-1)
@@ -187,8 +191,12 @@ def knn(queries, qmask, refs, rmask, k: int, block: int = 512):
     def body(q):
         d = jnp.sum(q * q, axis=-1)[:, None] - 2.0 * q @ refs.T + r2[None, :]
         d = jnp.where(rmask[None, :], d, _BIG)
-        neg, idx = jax.lax.top_k(-d, k)
-        return jnp.maximum(-neg, 0.0), idx.astype(jnp.int32)
+        if approx:
+            nd, idx = jax.lax.approx_min_k(d, k)
+        else:
+            neg, idx = jax.lax.top_k(-d, k)
+            nd = -neg
+        return jnp.maximum(nd, 0.0), idx.astype(jnp.int32)
 
     dists, idx = jax.lax.map(body, qb)
     dists = dists.reshape(M, k)

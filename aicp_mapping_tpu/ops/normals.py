@@ -63,16 +63,26 @@ def _eigh3x3_smallest(A: jax.Array):
     return eigvals, v
 
 
-@partial(jax.jit, static_argnames=("k",))
+@partial(jax.jit, static_argnames=("k", "approx"))
 def estimate_normals(points: jax.Array, mask: jax.Array, k: int,
-                     viewpoint: jax.Array | None = None):
+                     viewpoint: jax.Array | None = None,
+                     approx: bool = False):
     """Per-point normals + curvature from the k-NN neighborhood (self incl.).
 
     Returns (normals (N,3), curvature (N,), eigvals (N,3) ascending).
     Normals are oriented toward `viewpoint` (sensor origin) when given —
     matching PCL's setViewPoint flip (filteringUtils.cpp:72).
     """
-    _, idx = knn(points, mask, points, mask, k)
+    _, idx = knn(points, mask, points, mask, k, approx=approx)
+    return normals_from_neighbors(points, mask, idx, viewpoint)
+
+
+@jax.jit
+def normals_from_neighbors(points: jax.Array, mask: jax.Array,
+                           idx: jax.Array,
+                           viewpoint: jax.Array | None = None):
+    """Normals + curvature from a precomputed neighbor index (N, k) — lets a
+    caller share one kNN build between normal estimation and region growing."""
     nbrs = points[idx]                                  # (N, k, 3)
     nmask = mask[idx] & mask[:, None]                   # (N, k)
     w = nmask.astype(points.dtype)[..., None]

@@ -32,16 +32,21 @@ def label_propagation_clusters(
     smoothness_deg: float = 3.0,
     curvature_thresh: float = 1.0,
     max_iters: int = 64,
+    neighbor_idx: jax.Array | None = None,
 ):
     """Min-label propagation over the smoothness graph.
 
     Returns labels (N,) int32: the minimum point index of each cluster
     (root id), or -1 for invalid points. Points whose curvature exceeds
     `curvature_thresh` may join a cluster but do not forward labels —
-    matching PCL's seed gating.
+    matching PCL's seed gating. Pass `neighbor_idx` (N, >=k) to reuse a
+    kNN build; its first k columns are used.
     """
     n = points.shape[0]
-    _, idx = knn(points, mask, points, mask, k)          # (N, k)
+    if neighbor_idx is None:
+        _, idx = knn(points, mask, points, mask, k)      # (N, k)
+    else:
+        idx = neighbor_idx[:, :k]
     cos_thresh = jnp.cos(jnp.deg2rad(smoothness_deg))
 
     nbr_normals = normals[idx]                            # (N, k, 3)
@@ -52,11 +57,17 @@ def label_propagation_clusters(
         & mask[idx]
     )
     can_forward = (curvature <= curvature_thresh) & mask
+    pull_ok = nbr_ok & can_forward[idx]
 
     init_labels = jnp.where(
         mask, jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)[:, 0], jnp.int32(n)
     )
 
+    # Pull-only propagation + pointer jumping: every iteration is pure
+    # gathers (TPU scatters are slow), and label doubling L <- L[L] gives
+    # O(log N) convergence. kNN edges are near-symmetric at these densities,
+    # so pull-only reaches the same components as push-pull; the curvature
+    # gate is enforced on direct pulls (jumps ride already-assigned labels).
     def cond(state):
         labels, changed, it = state
         return jnp.logical_and(changed, it < max_iters)
@@ -64,16 +75,12 @@ def label_propagation_clusters(
     def body(state):
         labels, _, it = state
         nbr_labels = labels[idx]                           # (N, k)
-        # Pull: take min over neighbors that can forward through a smooth edge.
-        pull_ok = nbr_ok & can_forward[idx]
         pulled = jnp.min(jnp.where(pull_ok, nbr_labels, n), axis=1)
         new = jnp.minimum(labels, pulled)
-        # Push: scatter own label to neighbors over smooth edges (covers
-        # asymmetric kNN edges) — only forwarding points push.
-        push_ok = nbr_ok & can_forward[:, None]
-        src = jnp.where(push_ok, new[:, None], n).reshape(-1)
-        dst = idx.reshape(-1)
-        new = new.at[dst].min(src)
+        # pointer jump twice: L <- L[L]
+        for _ in range(2):
+            jumped = new[jnp.clip(new, 0, n - 1)]
+            new = jnp.where(new < n, jnp.minimum(new, jumped), n)
         new = jnp.where(mask, new, n)
         changed = jnp.any(new != labels)
         return (new, changed, it + 1)
@@ -140,12 +147,21 @@ def plane_segmentation_filter(
 
     Returns (points, mask, normals, curvature, labels); when `out_capacity`
     is given, kept points are compacted to that capacity (order preserved).
+
+    One approximate kNN build (k = normal_k) is shared between normal
+    estimation and the region-growing graph (its nearest graph_k columns).
     """
-    normals, curvature, _ = estimate_normals(points, mask, normal_k, viewpoint)
+    from .knn import knn as _knn
+    from .normals import normals_from_neighbors
+
+    _, nbr_idx = _knn(points, mask, points, mask, normal_k, approx=True)
+    normals, curvature, _ = normals_from_neighbors(points, mask, nbr_idx,
+                                                   viewpoint)
     labels = label_propagation_clusters(
         points, mask, normals, curvature,
         k=graph_k, smoothness_deg=smoothness_deg,
         curvature_thresh=curvature_thresh,
+        neighbor_idx=nbr_idx,
     )
     keep = filter_small_clusters(labels, mask, min_cluster_size)
 

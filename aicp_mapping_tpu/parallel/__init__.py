@@ -1,0 +1,9 @@
+from .mesh import initialize_distributed, make_mesh, make_mesh_2d  # noqa: F401
+from .posegraph import (  # noqa: F401
+    PoseGraph,
+    make_odometry_edges,
+    optimize_pose_graph,
+    optimize_pose_graph_sharded,
+    pad_edges,
+)
+from .sharded_icp import histogram_quantile, sharded_point_to_plane_icp  # noqa: F401

@@ -1,0 +1,193 @@
+"""Pose-graph-backed SLAM mapper: AICP front-end + distributed back-end.
+
+NEW relative to the reference (SURVEY.md §7, BASELINE.json): the reference's
+frame-to-reference chain accumulates drift and its "graph" has no edges
+(aligned_clouds_graph.hpp). This mapper:
+
+  1. runs the AICP pipeline (App) as odometry front-end;
+  2. treats every reference cloud as a keyframe;
+  3. proposes loop closures between non-adjacent keyframes by occupancy
+     overlap (the semantics the reference sketched but never wired in:
+     `computeLoopClosureFromOverlap`, octrees_overlap.cpp:75-111);
+  4. verifies each candidate with a trimmed point-to-plane ICP registration;
+  5. optimizes the keyframe pose graph with Gauss-Newton (optionally
+     edge-sharded over a device mesh) and rebuilds the map.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh
+
+from ..cloud import Cloud
+from ..geometry import se3
+from ..ops.normals import estimate_normals
+from ..overlap.voxel_overlap import compute_overlap
+from ..parallel.posegraph import (
+    PoseGraph,
+    optimize_pose_graph,
+    optimize_pose_graph_sharded,
+    pad_edges,
+)
+from ..registration.icp import clamp_trim_ratio, point_to_plane_icp
+from .app import App
+from .config import PipelineConfig
+
+
+@dataclasses.dataclass
+class Keyframe:
+    index: int                  # graph cloud index in the App
+    utime: int
+    pose: np.ndarray            # (4, 4) corrected world pose
+    cloud: Cloud                # world-frame filtered cloud
+
+
+@dataclasses.dataclass
+class LoopClosure:
+    i: int                      # keyframe indices
+    j: int
+    measurement: np.ndarray     # (4, 4) Z_ij
+    overlap: float
+    inlier_rms: float
+
+
+class PoseGraphMapper:
+    def __init__(self, app: App, mesh: Optional[Mesh] = None,
+                 mesh_axis: str = "graph",
+                 min_loop_overlap: float = 35.0,
+                 min_keyframe_gap: int = 3,
+                 max_loop_distance: float = 10.0,
+                 odom_weight_t: float = 100.0,
+                 odom_weight_r: float = 400.0):
+        self.app = app
+        self.mesh = mesh
+        self.mesh_axis = mesh_axis
+        self.min_loop_overlap = min_loop_overlap
+        self.min_keyframe_gap = min_keyframe_gap
+        self.max_loop_distance = max_loop_distance
+        self.odom_weight_t = odom_weight_t
+        self.odom_weight_r = odom_weight_r
+        self.loop_closures: list[LoopClosure] = []
+
+    # -------------------- keyframes --------------------
+    def keyframes(self) -> list[Keyframe]:
+        kfs = []
+        for idx, c in enumerate(self.app.graph.clouds):
+            if c.is_reference:
+                kfs.append(Keyframe(
+                    index=idx, utime=c.utime,
+                    pose=np.asarray(c.corrected_pose),
+                    cloud=c.cloud))
+        return kfs
+
+    # -------------------- loop closures --------------------
+    def propose_loop_closures(self) -> list[LoopClosure]:
+        """Overlap-gated candidates + ICP verification."""
+        kfs = self.keyframes()
+        cfg = self.app.cfg
+        found = []
+        for a in range(len(kfs)):
+            for b in range(a + self.min_keyframe_gap + 1, len(kfs)):
+                ka, kb = kfs[a], kfs[b]
+                d = np.linalg.norm(ka.pose[:3, 3] - kb.pose[:3, 3])
+                if d > self.max_loop_distance:
+                    continue
+                ov = compute_overlap(ka.cloud.points, ka.cloud.mask,
+                                     kb.cloud.points, kb.cloud.mask,
+                                     cfg.octree_resolution)
+                ov_pct = float(ov.overlap_percent)
+                if ov_pct < self.min_loop_overlap:
+                    continue
+                # verify with registration: align kb's cloud to ka's
+                normals, _, _ = estimate_normals(
+                    ka.cloud.points, ka.cloud.mask, cfg.icp_normal_k,
+                    jnp.asarray(ka.pose[:3, 3]))
+                res = point_to_plane_icp(
+                    kb.cloud.points, kb.cloud.mask,
+                    ka.cloud.points, normals, ka.cloud.mask,
+                    se3.identity(), clamp_trim_ratio(jnp.float32(ov_pct)),
+                    cfg.icp)
+                U = np.asarray(res.T)
+                rms = float(res.inlier_rms)
+                if rms > 0.3 or np.any(
+                        np.abs(U[:3, 3]) > cfg.max_correction_magnitude * 4):
+                    continue
+                # Z_ij = T_i^{-1} (U T_j): the relative pose consistent with
+                # the verified alignment of cloud j onto cloud i.
+                Z = np.linalg.inv(ka.pose) @ (U @ kb.pose)
+                found.append(LoopClosure(a, b, Z.astype(np.float32),
+                                         ov_pct, rms))
+        self.loop_closures = found
+        return found
+
+    # -------------------- optimization --------------------
+    def build_graph(self, kfs: list[Keyframe]) -> PoseGraph:
+        K = len(kfs)
+        poses = jnp.asarray(np.stack([k.pose for k in kfs]))
+        ei, ej, Z_list, w_list = [], [], [], []
+        # odometry edges from the front-end's corrected chain
+        for a in range(K - 1):
+            ei.append(a)
+            ej.append(a + 1)
+            Z_list.append(np.linalg.inv(kfs[a].pose) @ kfs[a + 1].pose)
+            w_list.append([self.odom_weight_t] * 3 + [self.odom_weight_r] * 3)
+        for lc in self.loop_closures:
+            ei.append(lc.i)
+            ej.append(lc.j)
+            Z_list.append(lc.measurement)
+            # weight by registration quality
+            s = 1.0 / max(lc.inlier_rms, 0.01) ** 2
+            w_list.append([s] * 3 + [4.0 * s] * 3)
+        edges = jnp.asarray(np.stack([ei, ej], axis=1).astype(np.int32))
+        Z = jnp.asarray(np.stack(Z_list).astype(np.float32))
+        w = jnp.asarray(np.asarray(w_list, np.float32))
+        mask = jnp.ones((edges.shape[0],), bool)
+        return PoseGraph(poses, edges, Z, w, mask)
+
+    def optimize(self, gn_iters: int = 8) -> list[Keyframe]:
+        """Run PGO over keyframes; returns keyframes with updated poses and
+        updates the App's graph clouds + map in place."""
+        kfs = self.keyframes()
+        if len(kfs) < 2:
+            return kfs
+        graph = self.build_graph(kfs)
+        if self.mesh is not None:
+            n_dev = self.mesh.shape[self.mesh_axis]
+            e, z, w, m = pad_edges(graph.edges, graph.measurements,
+                                   graph.weights, n_dev)
+            graph = PoseGraph(graph.poses, e, z, w, m)
+            opt, chi2 = optimize_pose_graph_sharded(
+                graph, self.mesh, axis=self.mesh_axis, gn_iters=gn_iters)
+        else:
+            opt, chi2 = optimize_pose_graph(graph, gn_iters=gn_iters)
+        opt_np = np.asarray(opt)
+
+        # apply deltas to keyframe clouds and the App graph; rebuild map
+        new_map = []
+        for k, kf in enumerate(kfs):
+            delta = opt_np[k] @ np.linalg.inv(kf.pose)
+            moved = kf.cloud.transform(jnp.asarray(delta.astype(np.float32)))
+            cloud_rec = self.app.graph.clouds[kf.index]
+            cloud_rec.cloud = moved
+            cloud_rec.corrected_pose = jnp.asarray(
+                opt_np[k].astype(np.float32))
+            kf.pose = opt_np[k]
+            kf.cloud = moved
+            new_map.append(moved.to_numpy())
+        if new_map:
+            self.app.aligned_map_np = np.concatenate(new_map)
+        return kfs
+
+    def run_backend(self) -> dict:
+        """Propose + optimize; returns a summary."""
+        lcs = self.propose_loop_closures()
+        kfs = self.optimize()
+        return {
+            "n_keyframes": len(kfs),
+            "n_loop_closures": len(lcs),
+            "loop_closures": [(lc.i, lc.j, lc.overlap) for lc in lcs],
+        }

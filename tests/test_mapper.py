@@ -1,0 +1,72 @@
+import numpy as np
+import pytest
+
+from aicp_mapping_tpu.parallel import make_mesh
+from aicp_mapping_tpu.pipeline import App, PipelineConfig, SequenceRunner
+from aicp_mapping_tpu.pipeline.mapper import PoseGraphMapper
+from aicp_mapping_tpu.pipeline.sequence import synthetic_sequence
+
+
+def small_config(**kw) -> PipelineConfig:
+    cfg = PipelineConfig(
+        working_mode="debug",
+        raw_capacity=8192,
+        downsample_capacity=4096,
+        filtered_capacity=2048,
+        map_capacity=16384,
+        min_cluster_size=30,
+        reference_update_frequency=2,
+    )
+    for k, v in kw.items():
+        setattr(cfg, k, v)
+    return cfg
+
+
+@pytest.fixture(scope="module")
+def run_app():
+    items, gt = synthetic_sequence(n_frames=8, n_points=6000, seed=2,
+                                   yaw_rate_deg=45.0, step=1.2)
+    app = App(small_config())
+    SequenceRunner(app).run_clouds(items)
+    return app, items, gt
+
+
+def test_keyframes_collected(run_app):
+    app, items, gt = run_app
+    mapper = PoseGraphMapper(app)
+    kfs = mapper.keyframes()
+    assert len(kfs) >= 3
+    assert kfs[0].index == 0
+
+
+def test_loop_closure_proposal(run_app):
+    app, items, gt = run_app
+    # 45 deg/frame * 8 frames = full circle -> later keyframes overlap early ones
+    mapper = PoseGraphMapper(app, min_keyframe_gap=1, min_loop_overlap=10.0,
+                             max_loop_distance=30.0)
+    lcs = mapper.propose_loop_closures()
+    assert len(lcs) >= 1
+    for lc in lcs:
+        assert lc.overlap >= 10.0
+        assert np.isfinite(lc.measurement).all()
+
+
+def test_backend_optimization_runs(run_app):
+    app, items, gt = run_app
+    mapper = PoseGraphMapper(app, min_keyframe_gap=1, min_loop_overlap=10.0,
+                             max_loop_distance=30.0)
+    summary = mapper.run_backend()
+    assert summary["n_keyframes"] >= 3
+    kfs = mapper.keyframes()
+    for kf in kfs:
+        assert np.isfinite(kf.pose).all()
+    assert app.aligned_map_np.shape[0] > 0
+
+
+def test_backend_sharded_mesh(run_app):
+    app, items, gt = run_app
+    mesh = make_mesh(8, axis="graph")
+    mapper = PoseGraphMapper(app, mesh=mesh, min_keyframe_gap=1,
+                             min_loop_overlap=10.0, max_loop_distance=30.0)
+    summary = mapper.run_backend()
+    assert summary["n_keyframes"] >= 3

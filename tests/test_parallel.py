@@ -1,0 +1,138 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from aicp_mapping_tpu.cloud import Cloud
+from aicp_mapping_tpu.geometry import se3
+from aicp_mapping_tpu.ops import estimate_normals
+from aicp_mapping_tpu.parallel import (
+    PoseGraph,
+    histogram_quantile,
+    make_mesh,
+    make_odometry_edges,
+    optimize_pose_graph,
+    optimize_pose_graph_sharded,
+    pad_edges,
+    sharded_point_to_plane_icp,
+)
+from aicp_mapping_tpu.registration import point_to_plane_icp
+from aicp_mapping_tpu.tools.synthetic import room_cloud
+
+
+def noisy_loop_trajectory(K=16, seed=0, noise_t=0.05, noise_r_deg=1.0):
+    """Ground-truth square loop + noisy odometry + loop-closure edge."""
+    rng = np.random.default_rng(seed)
+    gt = [np.eye(4, dtype=np.float32)]
+    step = np.asarray(se3.make_transform(
+        se3.so3_exp(jnp.array([0.0, 0.0, 2 * np.pi / K])),
+        jnp.array([1.0, 0.0, 0.0])))
+    for _ in range(K - 1):
+        gt.append((gt[-1] @ step).astype(np.float32))
+    gt = jnp.asarray(np.stack(gt))
+
+    # noisy relative measurements
+    edges_list, Z_list = [], []
+    for i in range(K - 1):
+        rel = np.asarray(se3.inverse(gt[i]) @ gt[i + 1])
+        pert = np.asarray(se3.se3_exp(jnp.asarray(np.concatenate([
+            rng.normal(0, noise_t, 3),
+            np.deg2rad(rng.normal(0, noise_r_deg, 3))]).astype(np.float32))))
+        edges_list.append((i, i + 1))
+        Z_list.append(rel @ pert)
+    # loop closure: last -> first (strong, accurate)
+    rel = np.asarray(se3.inverse(gt[K - 1]) @ gt[0])
+    edges_list.append((K - 1, 0))
+    Z_list.append(rel)
+
+    edges = jnp.asarray(np.array(edges_list, np.int32))
+    Z = jnp.asarray(np.stack(Z_list))
+    w = jnp.tile(jnp.array([100.0] * 3 + [400.0] * 3, jnp.float32),
+                 (edges.shape[0], 1))
+    # loop closure much stronger
+    w = w.at[-1].set(jnp.array([1e4] * 3 + [4e4] * 3, jnp.float32))
+
+    # initial guess: integrate the noisy odometry
+    init = [np.eye(4, dtype=np.float32)]
+    for i in range(K - 1):
+        init.append(init[-1] @ np.asarray(Z[i]))
+    init = jnp.asarray(np.stack(init))
+    return gt, init, edges, Z, w
+
+
+def graph_error(poses, gt):
+    """Mean translation error after gauge alignment at node 0."""
+    A = jax.vmap(lambda p: se3.inverse(poses[0]) @ p)(poses)
+    B = jax.vmap(lambda p: se3.inverse(gt[0]) @ p)(gt)
+    return float(jnp.mean(jnp.linalg.norm(
+        se3.translation(A) - se3.translation(B), axis=-1)))
+
+
+def test_posegraph_reduces_loop_error():
+    gt, init, edges, Z, w = noisy_loop_trajectory()
+    g = PoseGraph(init, edges, Z, w, jnp.ones((edges.shape[0],), bool))
+    opt, chi2 = optimize_pose_graph(g, gn_iters=8)
+    err_init = graph_error(init, gt)
+    err_opt = graph_error(opt, gt)
+    assert err_opt < 0.4 * err_init, (err_init, err_opt)
+    assert float(chi2[-1]) < float(chi2[0])
+
+
+def test_posegraph_sharded_matches_single_device():
+    gt, init, edges, Z, w = noisy_loop_trajectory(K=16, seed=1)
+    mesh = make_mesh(8, axis="edges")
+    e, z, ww, mask = pad_edges(edges, Z, w, 8)
+    g_pad = PoseGraph(init, e, z, ww, mask)
+    opt_sh, chi2_sh = optimize_pose_graph_sharded(g_pad, mesh, axis="edges",
+                                                  gn_iters=8)
+    g = PoseGraph(init, edges, Z, w, jnp.ones((edges.shape[0],), bool))
+    opt, chi2 = optimize_pose_graph(g, gn_iters=8)
+    # The distributed solve must reproduce the single-device solve
+    np.testing.assert_allclose(np.asarray(opt_sh), np.asarray(opt),
+                               rtol=1e-3, atol=1e-4)
+    assert graph_error(opt_sh, gt) < graph_error(init, gt)
+    assert float(chi2_sh[-1]) < float(chi2_sh[0])
+
+
+def test_make_odometry_edges():
+    gt, *_ = noisy_loop_trajectory(K=6)
+    edges, Z, w = make_odometry_edges(gt)
+    assert edges.shape == (5, 2)
+    # Z_i must reproduce the relative motion exactly
+    rel = jax.vmap(lambda a, b: se3.inverse(a) @ b)(gt[:-1], gt[1:])
+    np.testing.assert_allclose(np.asarray(Z), np.asarray(rel), atol=1e-6)
+
+
+def test_histogram_quantile_close_to_exact():
+    rng = np.random.default_rng(0)
+    vals = jnp.asarray(rng.uniform(0, 10, 4096).astype(np.float32))
+    w = jnp.ones((4096,), jnp.float32)
+    q = histogram_quantile(vals, w, 0.7, 0.0, 10.0)
+    assert abs(float(q) - 7.0) < 0.1
+
+
+def test_sharded_icp_matches_single_device():
+    pts = room_cloud(n=4096, seed=5, noise=0.005)
+    ref = Cloud.from_numpy(pts, capacity=4096)
+    normals, _, _ = estimate_normals(ref.points, ref.mask, k=12)
+    T_pert = np.asarray(se3.make_transform(
+        se3.so3_exp(jnp.array([0.01, -0.02, 0.05])),
+        jnp.array([0.1, -0.08, 0.05])))
+    reading = ref.transform(jnp.asarray(T_pert))
+
+    mesh = make_mesh(8, axis="points")
+    T_sh, it_sh, rms_sh, H_sh = sharded_point_to_plane_icp(
+        mesh, reading.points, reading.mask,
+        ref.points, normals, ref.mask, se3.identity(), 0.7)
+
+    res = point_to_plane_icp(reading.points, reading.mask, ref.points,
+                             normals, ref.mask, se3.identity(),
+                             jnp.float32(0.7))
+    # Both must invert the perturbation
+    for T in (T_sh, res.T):
+        err = np.asarray(T) @ T_pert
+        assert np.linalg.norm(err[:3, 3]) < 0.02
+        assert float(se3.rotation_angle_deg(jnp.asarray(err))) < 0.3
+    # And agree closely with each other (histogram vs exact quantile trim)
+    np.testing.assert_allclose(np.asarray(T_sh), np.asarray(res.T),
+                               atol=5e-3)
