@@ -146,7 +146,12 @@ class RiskClassifier:
 
 def load_label_file(path: str) -> tuple[np.ndarray, np.ndarray]:
     """Parse the reference's labelled dataset format:
-    `id overlap alignability label` per line (data/labels/*.txt)."""
+    `id overlap alignability label` per line (data/labels/*.txt).
+
+    Alignability is stored in [0, 1] in the files but the runtime feature is
+    0-100 (alignabilityFilter returns 100*lambda_min/lambda_max), so it is
+    scaled by 100 on load — exactly as the reference trainer does
+    (classification/main.cpp:124 `training_data.col(1) = 100.0 * ...`)."""
     rows = []
     with open(path) as f:
         for line in f:
@@ -156,4 +161,6 @@ def load_label_file(path: str) -> tuple[np.ndarray, np.ndarray]:
     arr = np.asarray(rows, dtype=np.float32)
     if arr.size == 0:
         return np.zeros((0, 2), np.float32), np.zeros((0,), np.float32)
-    return arr[:, :2], arr[:, 2]
+    features = arr[:, :2].copy()
+    features[:, 1] *= 100.0
+    return features, arr[:, 2]

@@ -1,0 +1,324 @@
+"""Command-line tools — the reference's L5 executables as subcommands.
+
+    python -m aicp_mapping_tpu <command> ...
+
+command        reference analog
+-------        ----------------
+register       aicp-registration pair CLI (aicp_lcm/examples/registration_main.cpp)
+overlap        overlap CLI (aicp_lcm/examples/overlap_main.cpp)
+classifier     SVM train/test CLI (aicp_core/src/classification/main.cpp)
+replay         offline sequence replay (App::processFromFile, app.cpp:250-279)
+kitti-eval     KITTI odometry evaluator (aicp_lcm/src/tools/kitti_devkit/
+               evaluate_odometry.cpp)
+remove-ground  PMF ground removal (aicp_lcm/src/tools/pcl_ground_removal.cpp)
+make-cube      synthetic cube generator (aicp_core/src/tools/create_cube_cloud.cpp)
+concat         cloud concatenation (aicp_core/src/tools/concatenate_clouds.cpp)
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+import numpy as np
+
+
+def _cmd_register(args) -> int:
+    import jax.numpy as jnp
+
+    from .cloud import Cloud
+    from .geometry import se3
+    from .native import read_cloud
+    from .ops import estimate_normals
+    from .overlap.alignability import alignability_filter
+    from .overlap.fov import fov_overlap
+    from .overlap.voxel_overlap import compute_overlap
+    from .registration import clamp_trim_ratio, point_to_plane_icp
+    from .registration.monitor import hausdorff_distance
+    from .io.pcd import viewpoint_to_pose
+
+    read_np, read_vp = read_cloud(args.reading)
+    ref_np, ref_vp = read_cloud(args.reference)
+    cap = 1 << int(np.ceil(np.log2(max(len(read_np), len(ref_np), 1024))))
+    reading = Cloud.from_numpy(read_np, capacity=cap)
+    reference = Cloud.from_numpy(ref_np, capacity=cap)
+    read_pose = viewpoint_to_pose(read_vp)
+    ref_pose = viewpoint_to_pose(ref_vp)
+
+    init_T = se3.identity()
+    if args.perturb_sigma_t > 0 or args.perturb_sigma_deg > 0:
+        # random Gaussian initial perturbation for validation runs
+        # (registration_main.cpp:331-347)
+        rng = np.random.default_rng(args.seed)
+        t = rng.normal(0, args.perturb_sigma_t, 3)
+        w = np.deg2rad(rng.normal(0, args.perturb_sigma_deg, 3))
+        init_T = se3.make_transform(se3.so3_exp(jnp.asarray(w, jnp.float32)),
+                                    jnp.asarray(t, jnp.float32))
+
+    ov = compute_overlap(reference.points, reference.mask,
+                         reading.points, reading.mask)
+    overlap = float(ov.overlap_percent)
+    normals, _curv, _nmask = estimate_normals(reference.points,
+                                              reference.mask, k=args.normal_k)
+    fov_j, _, _ = fov_overlap(reference.points, reference.mask,
+                              jnp.asarray(ref_pose),
+                              reading.points, reading.mask,
+                              jnp.asarray(read_pose))
+    fov = float(fov_j)
+    align_j, _diag = alignability_filter(
+        reference.points, reference.mask, jnp.asarray(ref_pose),
+        reading.points, reading.mask, jnp.asarray(read_pose))
+    align = float(align_j)
+
+    risk = -1.0
+    if args.classifier:
+        from .classification.classifier import RiskClassifier
+        clf = RiskClassifier()
+        clf.load(args.classifier)
+        risk = float(np.asarray(clf.test(
+            np.array([[overlap, align]], np.float32))).reshape(-1)[0])
+
+    ratio = clamp_trim_ratio(jnp.float32(overlap))
+    result = point_to_plane_icp(reading.points, reading.mask,
+                                reference.points, normals, reference.mask,
+                                init_T, ratio)
+    T = np.asarray(result.T)
+    aligned = reading.transform(jnp.asarray(T))
+    haus = float(hausdorff_distance(aligned.points, aligned.mask,
+                                    reference.points, reference.mask))
+    out = {
+        "overlap_percent": overlap,
+        "fov_overlap": fov,
+        "alignability": align,
+        "risk": risk,
+        "trim_ratio": float(ratio),
+        "n_iterations": int(result.n_iterations),
+        "inlier_rms": float(result.inlier_rms),
+        "hausdorff": haus,
+        "correction": T.tolist(),
+    }
+    print(json.dumps(out, indent=2))
+    if args.output:
+        from .native import write_pcd
+        write_pcd(args.output, aligned.to_numpy())
+    return 0
+
+
+def _cmd_overlap(args) -> int:
+    from .cloud import Cloud
+    from .native import read_cloud
+    from .overlap.voxel_overlap import compute_overlap
+
+    a_np, _ = read_cloud(args.cloud_a)
+    b_np, _ = read_cloud(args.cloud_b)
+    cap = 1 << int(np.ceil(np.log2(max(len(a_np), len(b_np), 1024))))
+    a = Cloud.from_numpy(a_np, capacity=cap)
+    b = Cloud.from_numpy(b_np, capacity=cap)
+    ov = compute_overlap(a.points, a.mask, b.points, b.mask,
+                         resolution=args.resolution)
+    mn, spread, ra, rb = (float(x) for x in ov.loop_closure_tuple())
+    print(json.dumps({
+        "overlap_percent": float(ov.overlap_percent),
+        "ratio_a": ra, "ratio_b": rb, "spread": spread,
+        "n_common": int(ov.n_common),
+    }, indent=2))
+    return 0
+
+
+def _cmd_classifier(args) -> int:
+    from .classification.classifier import RiskClassifier, load_label_file
+    from .eval.analysis import roc_curve, confusion_stats
+
+    clf = RiskClassifier(threshold=args.threshold)
+    if args.train:
+        feats, labels = load_label_file(args.train)
+        clf.train(feats, labels)
+        if args.model:
+            clf.save(args.model)
+    elif args.model:
+        clf.load(args.model)
+    else:
+        print("classifier: need --train or --model", file=sys.stderr)
+        return 2
+
+    if args.test:
+        feats, labels = load_label_file(args.test)
+        probs = np.asarray(clf.test(feats)).reshape(-1)
+        stats = confusion_stats(probs, labels, threshold=args.threshold)
+        auc, _, _ = roc_curve(probs, labels)
+        stats["auc"] = auc
+        print(json.dumps(stats, indent=2))
+        if args.save_probs:
+            np.savetxt(args.save_probs, probs, fmt="%.6f")
+    return 0
+
+
+def _cmd_replay(args) -> int:
+    from .pipeline.app import App
+    from .pipeline.config import PipelineConfig, load_yaml_config
+    from .pipeline.sequence import SequenceRunner
+    from .io.poses import write_kitti_poses
+
+    cfg = (load_yaml_config(args.config) if args.config else PipelineConfig())
+    app = App(cfg)
+    results = SequenceRunner(app).run_directory(args.directory)
+    ok = [r for r in results if r is not None]
+    print(json.dumps({
+        "frames": len(results),
+        "accepted": sum(1 for r in ok if r.accepted),
+        "registered": sum(1 for r in ok if r.registered),
+    }, indent=2))
+    if args.output_poses:
+        traj = np.stack([r.corrected_pose for r in ok])
+        write_kitti_poses(args.output_poses, traj)
+    return 0
+
+
+def _cmd_kitti_eval(args) -> int:
+    from .eval.kitti import (ate_rmse, average_errors, calc_sequence_errors,
+                             rpe)
+    from .io.poses import read_kitti_poses
+
+    gt = read_kitti_poses(args.ground_truth)
+    res = read_kitti_poses(args.result)
+    n = min(len(gt), len(res))
+    errors = calc_sequence_errors(gt[:n], res[:n])
+    summary = average_errors(errors)
+    summary["ate_rmse"] = ate_rmse(gt[:n], res[:n], align=args.align)
+    t_rpe, r_rpe = rpe(gt[:n], res[:n])
+    summary["rpe_trans"] = t_rpe
+    summary["rpe_rot"] = r_rpe
+    print(json.dumps(summary, indent=2))
+    return 0
+
+
+def _cmd_remove_ground(args) -> int:
+    from .cloud import Cloud
+    from .native import read_cloud, write_pcd
+    from .ops.ground import GroundFilterConfig, remove_ground
+
+    pts, vp = read_cloud(args.infile)
+    cap = 1 << int(np.ceil(np.log2(max(len(pts), 1024))))
+    cloud = Cloud.from_numpy(pts, capacity=cap)
+    cfg = GroundFilterConfig(cell_size=args.cell_size,
+                             max_window_size=args.max_window,
+                             slope=args.slope,
+                             initial_distance=args.initial_distance,
+                             max_distance=args.max_distance)
+    non_ground, ground = remove_ground(cloud.points, cloud.mask, cfg)
+    obj = np.asarray(cloud.points)[np.asarray(non_ground)]
+    grd = np.asarray(cloud.points)[np.asarray(ground)]
+    write_pcd(args.outfile, obj, viewpoint=vp)
+    if args.ground_out:
+        write_pcd(args.ground_out, grd, viewpoint=vp)
+    print(json.dumps({"input": len(pts), "object": len(obj),
+                      "ground": len(grd)}))
+    return 0
+
+
+def _cmd_make_cube(args) -> int:
+    from .native import write_pcd
+    from .tools.synthetic import cube_cloud
+
+    pts = cube_cloud(n_per_face=args.n_per_face, size=args.size,
+                     seed=args.seed, noise=args.noise)
+    write_pcd(args.output, pts)
+    print(json.dumps({"points": len(pts), "output": args.output}))
+    return 0
+
+
+def _cmd_concat(args) -> int:
+    from .native import read_cloud, write_pcd
+
+    clouds = []
+    for p in args.inputs:
+        pts, _ = read_cloud(p)
+        clouds.append(pts)
+    merged = np.concatenate(clouds)
+    if args.voxel > 0:
+        from .native import voxel_downsample
+        merged = voxel_downsample(merged, args.voxel)
+    write_pcd(args.output, merged)
+    print(json.dumps({"points": len(merged), "output": args.output}))
+    return 0
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="aicp_mapping_tpu",
+                                description=__doc__,
+                                formatter_class=argparse.RawDescriptionHelpFormatter)
+    sub = p.add_subparsers(dest="command", required=True)
+
+    r = sub.add_parser("register", help="register a reading/reference pair")
+    r.add_argument("reading")
+    r.add_argument("reference")
+    r.add_argument("-o", "--output", help="write aligned reading PCD")
+    r.add_argument("--classifier", help="trained risk-classifier file")
+    r.add_argument("--normal-k", type=int, default=12)
+    r.add_argument("--perturb-sigma-t", type=float, default=0.0)
+    r.add_argument("--perturb-sigma-deg", type=float, default=0.0)
+    r.add_argument("--seed", type=int, default=0)
+    r.set_defaults(func=_cmd_register)
+
+    o = sub.add_parser("overlap", help="voxel-occupancy overlap of two clouds")
+    o.add_argument("cloud_a")
+    o.add_argument("cloud_b")
+    o.add_argument("--resolution", type=float, default=0.2)
+    o.set_defaults(func=_cmd_overlap)
+
+    c = sub.add_parser("classifier", help="train/test the risk classifier")
+    c.add_argument("--train", help="labelled training file (id ov align label)")
+    c.add_argument("--test", help="labelled testing file")
+    c.add_argument("--model", help="model path to save (with --train) or load")
+    c.add_argument("--save-probs", help="write per-sample probabilities")
+    c.add_argument("--threshold", type=float, default=0.5)
+    c.set_defaults(func=_cmd_classifier)
+
+    rp = sub.add_parser("replay", help="replay a recorded sequence directory")
+    rp.add_argument("directory")
+    rp.add_argument("--config", help="AICP YAML config")
+    rp.add_argument("--output-poses", help="write KITTI-format trajectory")
+    rp.set_defaults(func=_cmd_replay)
+
+    k = sub.add_parser("kitti-eval", help="KITTI segment errors + ATE/RPE")
+    k.add_argument("ground_truth")
+    k.add_argument("result")
+    k.add_argument("--align", action="store_true",
+                   help="Umeyama-align before ATE")
+    k.set_defaults(func=_cmd_kitti_eval)
+
+    g = sub.add_parser("remove-ground", help="progressive morphological filter")
+    g.add_argument("-i", "--infile", required=True)
+    g.add_argument("-o", "--outfile", required=True)
+    g.add_argument("--ground-out", help="also write the extracted ground")
+    g.add_argument("--cell-size", type=float, default=0.33)
+    g.add_argument("--max-window", type=int, default=33)
+    g.add_argument("--slope", type=float, default=0.1)
+    g.add_argument("--initial-distance", type=float, default=0.1)
+    g.add_argument("--max-distance", type=float, default=2.0)
+    g.set_defaults(func=_cmd_remove_ground)
+
+    m = sub.add_parser("make-cube", help="synthetic cube-cloud generator")
+    m.add_argument("output")
+    m.add_argument("--n-per-face", type=int, default=2000)
+    m.add_argument("--size", type=float, default=4.0)
+    m.add_argument("--noise", type=float, default=0.0)
+    m.add_argument("--seed", type=int, default=0)
+    m.set_defaults(func=_cmd_make_cube)
+
+    cc = sub.add_parser("concat", help="concatenate clouds")
+    cc.add_argument("output")
+    cc.add_argument("inputs", nargs="+")
+    cc.add_argument("--voxel", type=float, default=0.0,
+                    help="optional voxel downsample of the result")
+    cc.set_defaults(func=_cmd_concat)
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    return args.func(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -55,6 +55,13 @@ class Cloud:
         mask[:n] = True
         return Cloud(jnp.asarray(pts), jnp.asarray(mask))
 
+    @staticmethod
+    def from_numpy_padded(points: np.ndarray, mask: np.ndarray) -> "Cloud":
+        """Wrap an already-padded (capacity, 3) buffer + mask (zero-copy on
+        the host side; used by the native prefetcher)."""
+        return Cloud(jnp.asarray(points, dtype=jnp.float32),
+                     jnp.asarray(mask, dtype=bool))
+
     def to_numpy(self) -> np.ndarray:
         pts = np.asarray(self.points)
         m = np.asarray(self.mask)

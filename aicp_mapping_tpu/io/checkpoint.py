@@ -1,0 +1,114 @@
+"""Checkpoint / resume of pipeline state.
+
+The reference has no real checkpointing — its nearest mechanisms are the
+record/replay harness and the prior-map load + go-back services
+(app_ros.cpp:280-357). This module adds true checkpointing (SURVEY.md §5.4):
+the full `App` state — clouds graph (poses, corrections, filtered points),
+total correction, aligned map, prior map, frame diagnostics — serialized to
+a single compressed npz + json manifest, so a mapping session can be
+suspended and resumed bit-exactly, or handed to another host.
+"""
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+
+import numpy as np
+
+CHECKPOINT_VERSION = 1
+
+
+def save_checkpoint(app, path: str) -> None:
+    """Serialize `App` state to `<path>.npz` + `<path>.json`."""
+    from ..pipeline.app import FrameResult
+
+    arrays: dict[str, np.ndarray] = {}
+    clouds_meta = []
+    for i, c in enumerate(app.graph.clouds):
+        arrays[f"cloud_{i}_points"] = np.asarray(c.cloud.points)
+        arrays[f"cloud_{i}_mask"] = np.asarray(c.cloud.mask)
+        arrays[f"cloud_{i}_poses"] = np.stack([
+            np.asarray(c.odom_pose), np.asarray(c.prior_pose),
+            np.asarray(c.correction), np.asarray(c.corrected_pose)])
+        clouds_meta.append({
+            "utime": int(c.utime),
+            "is_reference": bool(c.is_reference),
+            "its_reference_id": int(c.its_reference_id),
+        })
+    arrays["total_correction"] = np.asarray(app.total_correction)
+    arrays["aligned_map"] = np.asarray(app.aligned_map_np)
+    if app.prior_map is not None:
+        arrays["prior_map_points"] = np.asarray(app.prior_map.points)
+        arrays["prior_map_mask"] = np.asarray(app.prior_map.mask)
+
+    frames = []
+    for f in app.frames:
+        d = dataclasses.asdict(f)
+        d["correction"] = np.asarray(f.correction).tolist()
+        d["corrected_pose"] = np.asarray(f.corrected_pose).tolist()
+        frames.append(d)
+
+    manifest = {
+        "version": CHECKPOINT_VERSION,
+        "config": dataclasses.asdict(app.cfg),
+        "n_clouds": len(app.graph.clouds),
+        "current_reference_id": app.graph.current_reference_id,
+        "updates_counter": app.updates_counter,
+        "clouds": clouds_meta,
+        "frames": frames,
+    }
+    np.savez_compressed(path + ".npz", **arrays)
+    tmp = path + ".json.tmp"
+    with open(tmp, "w") as f:
+        json.dump(manifest, f)
+    os.replace(tmp, path + ".json")
+
+
+def load_checkpoint(path: str, visualizer=None, classifier=None):
+    """Reconstruct an `App` from a checkpoint written by `save_checkpoint`."""
+    import jax.numpy as jnp
+
+    from ..cloud import AlignedCloud, Cloud
+    from ..pipeline.app import App, FrameResult
+    from ..pipeline.config import PipelineConfig
+    from ..registration.icp import ICPConfig
+
+    with open(path + ".json") as f:
+        manifest = json.load(f)
+    if manifest["version"] != CHECKPOINT_VERSION:
+        raise ValueError(f"unsupported checkpoint version {manifest['version']}")
+    data = np.load(path + ".npz")
+
+    cfg_dict = dict(manifest["config"])
+    # dataclasses.asdict flattened the nested ICPConfig to a plain dict
+    cfg_dict["icp"] = ICPConfig(**cfg_dict.get("icp", {}))
+    cfg = PipelineConfig(**cfg_dict)
+    app = App(cfg, visualizer=visualizer, classifier=classifier)
+    app.total_correction = data["total_correction"]
+    app.aligned_map_np = data["aligned_map"]
+    if "prior_map_points" in data:
+        app.prior_map = Cloud(jnp.asarray(data["prior_map_points"]),
+                              jnp.asarray(data["prior_map_mask"]))
+    app.updates_counter = manifest["updates_counter"]
+
+    for i, meta in enumerate(manifest["clouds"]):
+        poses = data[f"cloud_{i}_poses"]
+        cloud = Cloud(jnp.asarray(data[f"cloud_{i}_points"]),
+                      jnp.asarray(data[f"cloud_{i}_mask"]))
+        ac = AlignedCloud(
+            utime=meta["utime"], cloud=cloud,
+            odom_pose=jnp.asarray(poses[0]),
+            prior_pose=jnp.asarray(poses[1]),
+            correction=jnp.asarray(poses[2]),
+            corrected_pose=jnp.asarray(poses[3]),
+            is_reference=meta["is_reference"],
+            its_reference_id=meta["its_reference_id"])
+        app.graph.add(ac)
+    app.graph.current_reference_id = manifest["current_reference_id"]
+
+    for d in manifest["frames"]:
+        d["correction"] = np.asarray(d["correction"], np.float32)
+        d["corrected_pose"] = np.asarray(d["corrected_pose"], np.float32)
+        app.frames.append(FrameResult(**d))
+    return app

@@ -91,4 +91,41 @@ def load_yaml_config(path: str, base: PipelineConfig | None = None) -> PipelineC
     svm = cls.get("SVM", {}) or {}
     cfg.risk_threshold = float(svm.get("threshold", cfg.risk_threshold))
     cfg.classifier_path = str(svm.get("saveFile", cfg.classifier_path) or "")
+
+    # --- extensions over the reference schema ---------------------------
+    # ICP chain parameters live inline (the reference points at a separate
+    # libpointmatcher YAML via Registration.configFile; here the solver is
+    # typed, so the chain is a plain sub-dict)
+    icp = aicp.get("ICP", {}) or {}
+    if icp:
+        cfg.icp = dataclasses.replace(
+            cfg.icp,
+            max_iterations=int(icp.get("maxIterationCount",
+                                       cfg.icp.max_iterations)),
+            min_diff_trans=float(icp.get("minDiffTransErr",
+                                         cfg.icp.min_diff_trans)),
+            min_diff_rot=float(icp.get("minDiffRotErr", cfg.icp.min_diff_rot)),
+            smooth_length=int(icp.get("smoothLength", cfg.icp.smooth_length)),
+            error_metric=str(icp.get("errorMetric", cfg.icp.error_metric)),
+        )
+    pipe = aicp.get("Pipeline", {}) or {}
+    for yaml_key, attr in (
+            ("workingMode", "working_mode"),
+            ("failurePredictionMode", "failure_prediction_mode"),
+            ("referenceUpdateFrequency", "reference_update_frequency"),
+            ("maxCorrectionMagnitude", "max_correction_magnitude"),
+            ("cropMapAroundBase", "crop_map_around_base"),
+            ("localizeAgainstPriorMap", "localize_against_prior_map"),
+            ("localizeAgainstBuiltMap", "localize_against_built_map"),
+            ("mergeAlignedCloudsToMap", "merge_aligned_clouds_to_map"),
+            ("rawCapacity", "raw_capacity"),
+            ("downsampleCapacity", "downsample_capacity"),
+            ("filteredCapacity", "filtered_capacity"),
+            ("mapCapacity", "map_capacity"),
+            ("voxelSize", "voxel_size"),
+            ("minClusterSize", "min_cluster_size"),
+    ):
+        if yaml_key in pipe:
+            cur = getattr(cfg, attr)
+            setattr(cfg, attr, type(cur)(pipe[yaml_key]))
     return cfg

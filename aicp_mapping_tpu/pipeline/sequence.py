@@ -27,16 +27,32 @@ class SequenceRunner:
         self.app = app
         self.raw_capacity = raw_capacity or app.cfg.raw_capacity
 
-    def run_directory(self, directory: str) -> list[FrameResult]:
+    def run_directory(self, directory: str,
+                      prefetch_threads: int = 4) -> list[FrameResult]:
+        """Replay a recorded sequence. Cloud files are loaded by the native
+        ordered prefetcher (aicp_mapping_tpu.native.SequencePrefetcher) so
+        disk IO and parsing overlap with device compute — replacing the
+        synchronous per-frame read of App::processFromFile
+        (app.cpp:261-278)."""
+        from ..native import SequencePrefetcher
+
         poses = read_pose_csv(os.path.join(directory, "aicp_input_poses.csv"))
+        paths = [os.path.join(
+            directory, f"cloud_{p.counter}_{p.sec}_{p.nsec}.pcd")
+            for p in poses]
         results = []
-        for p in poses:
-            path = os.path.join(
-                directory, f"cloud_{p.counter}_{p.sec}_{p.nsec}.pcd")
-            pts, _ = read_pcd(path)
-            cloud = Cloud.from_numpy(pts, capacity=self.raw_capacity)
-            ac = AlignedCloud.create(p.utime, cloud, p.pose)
-            results.append(self.app.process_cloud(ac))
+        pf = SequencePrefetcher(paths, capacity=self.raw_capacity,
+                                n_threads=prefetch_threads)
+        try:
+            for idx, padded, count, _vp in pf:
+                p = poses[idx]
+                mask = np.zeros((self.raw_capacity,), bool)
+                mask[:count] = True
+                cloud = Cloud.from_numpy_padded(padded, mask)
+                ac = AlignedCloud.create(p.utime, cloud, p.pose)
+                results.append(self.app.process_cloud(ac))
+        finally:
+            pf.close()
         return results
 
     def run_clouds(self, items: Iterable[tuple[int, np.ndarray, np.ndarray]]

@@ -43,6 +43,9 @@ class ICPConfig:
     smooth_length: int = 4
     damping: float = 1e-6          # Levenberg regularization of the 6x6 solve
     use_pallas: bool | None = None  # None = auto by backend
+    # "point_to_plane" (Chen91, icp_autotuned.yaml) or "point_to_point"
+    # (Besl92, config/icp/icp_max_atlas_finals.yaml-style chains)
+    error_metric: str = "point_to_plane"
 
 
 @jax.tree_util.register_dataclass
@@ -96,12 +99,24 @@ def point_to_plane_icp(
         thresh = masked_quantile(dist2, reading_mask, trim_ratio)
         w = m_f * (dist2 <= thresh) * (dist2 < _BIG)
         q = reference_points[idx]
-        n = reference_normals[idx]
-        r = jnp.sum(n * (p - q), axis=-1)              # point-to-plane residual
-        J = jnp.concatenate([n, jnp.cross(p, n)], axis=-1)  # (M, 6), twist [v, w]
-        Jw = J * w[:, None]
-        A = Jw.T @ J                                    # (6, 6) — MXU
-        b = -(Jw.T @ r)                                 # (6,)
+        if config.error_metric == "point_to_plane":
+            n = reference_normals[idx]
+            r = jnp.sum(n * (p - q), axis=-1)          # point-to-plane residual
+            J = jnp.concatenate([n, jnp.cross(p, n)], axis=-1)  # (M, 6), twist [v, w]
+            Jw = J * w[:, None]
+            A = Jw.T @ J                                # (6, 6) — MXU
+            b = -(Jw.T @ r)                             # (6,)
+        elif config.error_metric == "point_to_point":
+            # Besl92: minimize ||p + v + w x p - q||^2 with J_i = [I | -skew(p_i)]
+            rv = p - q                                  # (M, 3)
+            eye = jnp.broadcast_to(jnp.eye(3, dtype=p.dtype),
+                                   (p.shape[0], 3, 3))
+            Jp = jnp.concatenate([eye, -se3.skew(p)], axis=-1)  # (M, 3, 6)
+            A = jnp.einsum("mij,m,mik->jk", Jp, w, Jp)
+            b = -jnp.einsum("mij,m,mi->j", Jp, w, rv)
+            r = jnp.linalg.norm(rv, axis=-1)            # scalar residual for stats
+        else:
+            raise ValueError(f"unknown error_metric {config.error_metric!r}")
         lam = config.damping * jnp.trace(A) / 6.0 + 1e-12
         delta = jnp.linalg.solve(A + lam * jnp.eye(6, dtype=A.dtype), b)
         return delta, A, dist2, w, r

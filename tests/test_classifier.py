@@ -49,5 +49,7 @@ def test_label_file_parsing(tmp_path):
     p.write_text("0 76.67 0.124 0\n1 73.20 0.131 0 \n2 12.1 0.05 1\n")
     X, y = load_label_file(str(p))
     assert X.shape == (3, 2)
-    np.testing.assert_allclose(X[0], [76.67, 0.124], rtol=1e-5)
+    # alignability is scaled x100 on load to match the runtime feature
+    # (classification/main.cpp:124)
+    np.testing.assert_allclose(X[0], [76.67, 12.4], rtol=1e-5)
     np.testing.assert_array_equal(y, [0, 0, 1])

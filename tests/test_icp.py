@@ -114,3 +114,21 @@ def test_hausdorff_distance():
     b = Cloud.from_numpy(np.array([[0, 0, 0.5], [1, 0, 0]], dtype=np.float32), 4)
     d = hausdorff_distance(a.points, a.mask, b.points, b.mask)
     assert float(d) == pytest.approx(0.5, abs=1e-5)
+
+
+def test_point_to_point_recovers_identity():
+    """Besl92 point-to-point chain variant (config/icp/ point-to-point
+    YAMLs): same recovery property as point-to-plane on the cube."""
+    pts = cube_cloud(n_per_face=400, size=4.0, seed=0)
+    ref, normals = _prep_reference(pts, 2560)
+    T_pert = _perturb(3)
+    reading = Cloud(se3.transform_points(T_pert, ref.points), ref.mask)
+
+    result = point_to_plane_icp(
+        reading.points, reading.mask, ref.points, normals, ref.mask,
+        se3.identity(), jnp.float32(0.70),
+        ICPConfig(error_metric="point_to_point", max_iterations=40),
+    )
+    err = se3.compose(result.T, T_pert)
+    assert float(jnp.linalg.norm(se3.translation(err))) < 0.03
+    assert float(se3.rotation_angle_deg(err)) < 1.0

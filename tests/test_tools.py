@@ -1,0 +1,207 @@
+"""Ground removal, offline analysis, and the CLI subcommands."""
+import json
+
+import numpy as np
+import pytest
+
+from aicp_mapping_tpu.cli import main as cli_main
+from aicp_mapping_tpu.cloud import Cloud
+from aicp_mapping_tpu.eval.analysis import (
+    accuracy_vs_overlap,
+    confusion_stats,
+    correction_magnitudes,
+    f_scores,
+    pose_errors,
+    roc_curve,
+)
+from aicp_mapping_tpu.io.pcd import write_pcd
+from aicp_mapping_tpu.ops.ground import GroundFilterConfig, remove_ground
+
+
+# ------------------------------------------------------------------ ground
+
+def _ground_scene(seed=0):
+    """Flat ground plane + two box 'objects' standing on it."""
+    rng = np.random.default_rng(seed)
+    ground = np.column_stack([
+        rng.uniform(-20, 20, 4000), rng.uniform(-20, 20, 4000),
+        rng.normal(0, 0.02, 4000)]).astype(np.float32)
+    box1 = np.column_stack([
+        rng.uniform(2, 4, 800), rng.uniform(2, 4, 800),
+        rng.uniform(0.5, 2.5, 800)]).astype(np.float32)
+    box2 = np.column_stack([
+        rng.uniform(-8, -6, 800), rng.uniform(1, 3, 800),
+        rng.uniform(0.5, 3.5, 800)]).astype(np.float32)
+    return ground, np.concatenate([box1, box2])
+
+
+def test_ground_filter_separates_objects():
+    ground, objects = _ground_scene()
+    pts = np.concatenate([ground, objects])
+    cloud = Cloud.from_numpy(pts, capacity=8192)
+    cfg = GroundFilterConfig(cell_size=0.5, grid_dim=128)
+    non_ground, grd = remove_ground(cloud.points, cloud.mask, cfg)
+    non_ground = np.asarray(non_ground)
+    grd = np.asarray(grd)
+    n = len(pts)
+    is_object_true = np.zeros(8192, bool)
+    is_object_true[len(ground):n] = True
+    is_ground_true = np.zeros(8192, bool)
+    is_ground_true[:len(ground)] = True
+    # >90% of object points kept as non-ground; >90% of ground removed
+    obj_recall = np.sum(non_ground & is_object_true) / len(objects)
+    gnd_recall = np.sum(grd & is_ground_true) / len(ground)
+    assert obj_recall > 0.9, obj_recall
+    assert gnd_recall > 0.9, gnd_recall
+    # padded points never classified
+    assert not np.any(non_ground[n:]) and not np.any(grd[n:])
+
+
+def test_ground_filter_sloped_terrain():
+    """A 10% slope must still be treated as ground (slope parameter)."""
+    rng = np.random.default_rng(1)
+    x = rng.uniform(-20, 20, 3000)
+    y = rng.uniform(-20, 20, 3000)
+    z = 0.1 * x + rng.normal(0, 0.02, 3000)
+    pts = np.column_stack([x, y, z]).astype(np.float32)
+    cloud = Cloud.from_numpy(pts, capacity=4096)
+    cfg = GroundFilterConfig(cell_size=0.5, grid_dim=128)
+    _, grd = remove_ground(cloud.points, cloud.mask, cfg)
+    recall = np.asarray(grd)[:3000].mean()
+    assert recall > 0.8, recall
+
+
+# ---------------------------------------------------------------- analysis
+
+def test_confusion_and_roc():
+    probs = np.array([0.9, 0.8, 0.3, 0.2, 0.7, 0.1])
+    labels = np.array([1, 1, 0, 0, 1, 0])
+    stats = confusion_stats(probs, labels, threshold=0.5)
+    assert stats["tp"] == 3 and stats["tn"] == 3
+    assert stats["accuracy"] == 1.0 and stats["f1"] == 1.0
+    auc, tpr, fpr = roc_curve(probs, labels)
+    assert auc > 0.99
+    t_best, f1_best, _, _ = f_scores(probs, labels)
+    assert f1_best == 1.0
+
+
+def test_pose_errors_and_corrections():
+    gt = np.tile(np.eye(4), (5, 1, 1))
+    est = gt.copy()
+    est[:, 0, 3] = 0.1  # constant 10 cm offset
+    e = pose_errors(gt, est)
+    assert abs(e["t_err_mean"] - 0.1) < 1e-6
+    assert e["r_err_deg_max"] < 1e-4
+
+    corr = np.tile(np.eye(4), (3, 1, 1))
+    corr[1, :3, 3] = [0.3, 0.4, 0.0]
+    stats = correction_magnitudes(corr)
+    assert abs(stats["t_max"] - 0.5) < 1e-6
+    assert stats["n"] == 3
+
+
+def test_accuracy_vs_overlap_bins():
+    overlaps = np.array([10, 30, 50, 70, 90, 95])
+    terr = np.array([0.5, 0.3, 0.01, 0.015, 0.005, 0.001])
+    out = accuracy_vs_overlap(overlaps, terr)
+    assert out["accuracy"][0] == 0.0          # low overlap -> inaccurate
+    assert out["accuracy"][-1] == 1.0         # high overlap -> accurate
+    assert sum(out["count"]) == 6
+
+
+# --------------------------------------------------------------------- CLI
+
+@pytest.fixture(scope="module")
+def pair_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("clouds")
+    from aicp_mapping_tpu.tools.synthetic import room_cloud
+    pts = room_cloud(n=3000, seed=0, noise=0.01)
+    write_pcd(str(d / "ref.pcd"), pts)
+    # shifted reading
+    write_pcd(str(d / "read.pcd"), pts + np.array([0.1, -0.05, 0.02],
+                                                  np.float32))
+    return d
+
+
+def test_cli_register(pair_dir, capsys):
+    rc = cli_main(["register", str(pair_dir / "read.pcd"),
+                   str(pair_dir / "ref.pcd")])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out)
+    T = np.asarray(out["correction"])
+    # correction must undo the +0.1/-0.05/+0.02 shift
+    np.testing.assert_allclose(T[:3, 3], [-0.1, 0.05, -0.02], atol=0.02)
+    assert out["overlap_percent"] > 50
+
+
+def test_cli_overlap(pair_dir, capsys):
+    rc = cli_main(["overlap", str(pair_dir / "ref.pcd"),
+                   str(pair_dir / "ref.pcd")])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out)
+    assert out["overlap_percent"] > 99.0
+
+
+def test_cli_classifier_train_test(tmp_path, capsys):
+    rng = np.random.default_rng(0)
+    lines = []
+    for i in range(120):
+        label = i % 2
+        ov = rng.normal(30 if label else 80, 5)
+        al = rng.normal(0.05 if label else 0.2, 0.02)
+        lines.append(f"{i} {ov:.3f} {al:.5f} {label}")
+    train = tmp_path / "train.txt"
+    train.write_text("\n".join(lines[:80]) + "\n")
+    test = tmp_path / "test.txt"
+    test.write_text("\n".join(lines[80:]) + "\n")
+    model = tmp_path / "model.npz"
+    rc = cli_main(["classifier", "--train", str(train), "--test", str(test),
+                   "--model", str(model)])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out)
+    assert out["accuracy"] > 0.9
+    assert out["auc"] > 0.9
+    assert model.exists()
+
+
+def test_cli_make_cube_concat_ground(tmp_path, capsys):
+    cube = tmp_path / "cube.pcd"
+    rc = cli_main(["make-cube", str(cube), "--n-per-face", "100"])
+    assert rc == 0
+    capsys.readouterr()
+
+    merged = tmp_path / "merged.pcd"
+    rc = cli_main(["concat", str(merged), str(cube), str(cube)])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out)
+    assert out["points"] == 1200
+
+    ground, objects = _ground_scene()
+    scene = tmp_path / "scene.pcd"
+    write_pcd(str(scene), np.concatenate([ground, objects]))
+    outfile = tmp_path / "no_ground.pcd"
+    rc = cli_main(["remove-ground", "-i", str(scene), "-o", str(outfile),
+                   "--cell-size", "0.5"])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out)
+    assert out["object"] < out["input"]
+    assert out["ground"] > len(ground) * 0.8
+
+
+def test_cli_kitti_eval(tmp_path, capsys):
+    from aicp_mapping_tpu.io.poses import write_kitti_poses
+    n = 500
+    poses = np.tile(np.eye(4), (n, 1, 1))
+    poses[:, 0, 3] = np.arange(n) * 2.0  # ~1 km straight line, so the
+    # devkit's 100-800 m segment lengths all fit
+    est = poses.copy()
+    est[:, 1, 3] = 0.05
+    gt_f = tmp_path / "gt.txt"
+    res_f = tmp_path / "res.txt"
+    write_kitti_poses(str(gt_f), poses)
+    write_kitti_poses(str(res_f), est)
+    rc = cli_main(["kitti-eval", str(gt_f), str(res_f)])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out)
+    assert out["t_err_percent"] < 1.0
+    assert out["ate_rmse"] == pytest.approx(0.05, abs=1e-6)
