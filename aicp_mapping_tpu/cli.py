@@ -174,6 +174,34 @@ def _cmd_replay(args) -> int:
     return 0
 
 
+def _cmd_kitti_run(args) -> int:
+    from .eval.kitti_runner import run_kitti_sequence
+    from .io.poses import write_kitti_poses
+    from .pipeline.config import load_yaml_config
+
+    cfg = load_yaml_config(args.config) if args.config else None
+    traj, results, _app = run_kitti_sequence(
+        args.scan_dir, config=cfg, max_frames=args.max_frames,
+        remove_ground=args.remove_ground, frame_stride=args.stride)
+    write_kitti_poses(args.output_poses, traj)
+    ok = [r for r in results if r is not None]
+    summary = {
+        "frames": len(results),
+        "registered": sum(1 for r in ok if r.registered),
+        "accepted": sum(1 for r in ok if r.accepted),
+        "output": args.output_poses,
+    }
+    if args.ground_truth:
+        from .eval.kitti import ate_rmse, average_errors, calc_sequence_errors
+        from .io.poses import read_kitti_poses
+        gt = read_kitti_poses(args.ground_truth)
+        n = min(len(gt), len(traj))
+        summary.update(average_errors(calc_sequence_errors(gt[:n], traj[:n])))
+        summary["ate_rmse"] = ate_rmse(gt[:n], traj[:n], align=True)
+    print(json.dumps(summary, indent=2))
+    return 0
+
+
 def _cmd_kitti_eval(args) -> int:
     from .eval.kitti import (ate_rmse, average_errors, calc_sequence_errors,
                              rpe)
@@ -279,6 +307,18 @@ def build_parser() -> argparse.ArgumentParser:
     rp.add_argument("--config", help="AICP YAML config")
     rp.add_argument("--output-poses", help="write KITTI-format trajectory")
     rp.set_defaults(func=_cmd_replay)
+
+    kr = sub.add_parser("kitti-run",
+                        help="run a KITTI velodyne sequence end-to-end")
+    kr.add_argument("scan_dir", help="directory of velodyne .bin scans")
+    kr.add_argument("-o", "--output-poses", required=True,
+                    help="write KITTI-format trajectory")
+    kr.add_argument("--config", help="AICP YAML config")
+    kr.add_argument("--max-frames", type=int)
+    kr.add_argument("--stride", type=int, default=1)
+    kr.add_argument("--remove-ground", action="store_true")
+    kr.add_argument("--ground-truth", help="evaluate against this poses file")
+    kr.set_defaults(func=_cmd_kitti_run)
 
     k = sub.add_parser("kitti-eval", help="KITTI segment errors + ATE/RPE")
     k.add_argument("ground_truth")

@@ -61,9 +61,10 @@ def nn_argmin_xla(queries, qmask, refs, rmask, block: int = 1024):
     qb = queries.reshape(nblocks, -1, 3)
 
     def body(q):
+        # full f32 matmul: bf16 (TPU default) loses ~14 m^2 at 60 m coords
         d = (
             jnp.sum(q * q, axis=-1)[:, None]
-            - 2.0 * q @ refs.T
+            - 2.0 * jnp.matmul(q, refs.T, precision=jax.lax.Precision.HIGHEST)
             + r2[None, :]
         )
         d = jnp.where(rmask[None, :], d, _BIG)
@@ -98,6 +99,8 @@ def _nn_kernel(qt_ref, rt_ref, rsq_ref, dist_ref, idx_ref, *, tn: int):
         cross = jax.lax.dot_general(
             qt, r, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,  # full f32: see package
+            # __init__ note on bf16 distance error at lidar coordinates
         )
         d = q2[:, None] - 2.0 * cross + r2[None, :]
         col = jax.lax.broadcasted_iota(jnp.int32, (tm, tn), 1) + c * tn
@@ -189,7 +192,10 @@ def knn(queries, qmask, refs, rmask, k: int, block: int = 512,
     qb = queries.reshape(nblocks, -1, 3)
 
     def body(q):
-        d = jnp.sum(q * q, axis=-1)[:, None] - 2.0 * q @ refs.T + r2[None, :]
+        d = (jnp.sum(q * q, axis=-1)[:, None]
+             - 2.0 * jnp.matmul(q, refs.T,
+                                precision=jax.lax.Precision.HIGHEST)
+             + r2[None, :])
         d = jnp.where(rmask[None, :], d, _BIG)
         if approx:
             nd, idx = jax.lax.approx_min_k(d, k)

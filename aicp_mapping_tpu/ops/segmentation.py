@@ -22,7 +22,7 @@ from .knn import knn
 from .normals import estimate_normals
 
 
-@partial(jax.jit, static_argnames=("k", "max_iters"))
+@partial(jax.jit, static_argnames=("k", "max_iters", "jumps_per_iter"))
 def label_propagation_clusters(
     points: jax.Array,      # (N, 3)
     mask: jax.Array,        # (N,)
@@ -33,6 +33,7 @@ def label_propagation_clusters(
     curvature_thresh: float = 1.0,
     max_iters: int = 64,
     neighbor_idx: jax.Array | None = None,
+    jumps_per_iter: int = 6,
 ):
     """Min-label propagation over the smoothness graph.
 
@@ -64,10 +65,14 @@ def label_propagation_clusters(
     )
 
     # Pull-only propagation + pointer jumping: every iteration is pure
-    # gathers (TPU scatters are slow), and label doubling L <- L[L] gives
-    # O(log N) convergence. kNN edges are near-symmetric at these densities,
-    # so pull-only reaches the same components as push-pull; the curvature
-    # gate is enforced on direct pulls (jumps ride already-assigned labels).
+    # gathers (TPU scatters are slow). The (N, k) neighbor pull dominates the
+    # round cost (~10x a 1-D jump at k=15: gather throughput is per-element),
+    # so each round does ONE pull followed by `jumps_per_iter` cheap label
+    # doublings L <- L[L] — the doublings compress paths so min labels
+    # travel many graph hops per expensive pull. kNN edges are
+    # near-symmetric at these densities, so pull-only reaches the same
+    # components as push-pull; the curvature gate is enforced on direct
+    # pulls (jumps ride already-assigned labels).
     def cond(state):
         labels, changed, it = state
         return jnp.logical_and(changed, it < max_iters)
@@ -77,8 +82,7 @@ def label_propagation_clusters(
         nbr_labels = labels[idx]                           # (N, k)
         pulled = jnp.min(jnp.where(pull_ok, nbr_labels, n), axis=1)
         new = jnp.minimum(labels, pulled)
-        # pointer jump twice: L <- L[L]
-        for _ in range(2):
+        for _ in range(jumps_per_iter):                    # L <- L[L]
             jumped = new[jnp.clip(new, 0, n - 1)]
             new = jnp.where(new < n, jnp.minimum(new, jumped), n)
         new = jnp.where(mask, new, n)
@@ -89,6 +93,55 @@ def label_propagation_clusters(
         cond, body, (init_labels, jnp.bool_(True), jnp.int32(0))
     )
     return jnp.where(mask, labels, -1)
+
+
+@jax.jit
+def _compact_unique_keys(keys: jax.Array, valid: jax.Array) -> jax.Array:
+    """Map arbitrary non-negative int32 keys to dense ids [0, n_unique) via
+    sort; invalid entries -> -1. Pure sort/cumsum — no scatters."""
+    n = keys.shape[0]
+    big = jnp.int32(jnp.iinfo(jnp.int32).max)
+    k = jnp.where(valid, keys, big)
+    order = jnp.argsort(k)
+    ks = k[order]
+    starts = jnp.concatenate([jnp.ones((1,), jnp.int32),
+                              (ks[1:] != ks[:-1]).astype(jnp.int32)])
+    seg = jnp.cumsum(starts) - 1                       # (N,) ids in sorted order
+    labels_sorted = jnp.where(ks < big, seg, -1)
+    inv = jnp.zeros((n,), jnp.int32).at[order].set(
+        labels_sorted.astype(jnp.int32), mode="drop")
+    return inv
+
+
+@partial(jax.jit, static_argnames=("normal_bins",))
+def hough_plane_labels(points: jax.Array, mask: jax.Array,
+                       normals: jax.Array, curvature: jax.Array,
+                       normal_bins: int = 6, offset_res: float = 0.15,
+                       curvature_thresh: float = 1.0):
+    """Plane clustering by quantized (normal direction, plane offset) bins.
+
+    TPU-native alternative to sequential region growing: two points belong
+    to one cluster iff they vote for the same plane cell — normal quantized
+    on the cube grid (normal_bins cells per half-axis) and signed offset
+    d = n.p quantized at offset_res. O(N) with no neighbor graph and no
+    iteration; coplanar-but-disconnected fragments merge (acceptable for the
+    alignability semantics — its PCA consumes plane normal directions,
+    filteringUtils.cpp:365-400). Normals must be consistently oriented
+    (viewpoint flip) so the signed offset is stable within a surface.
+
+    Returns dense labels (N,) int32, -1 for invalid/high-curvature points.
+    """
+    # int32 key packing (x64 is disabled under jit): the normal-cube part
+    # needs <= (2*normal_bins+2)^3 codes and the offset part 12 bits, so
+    # normal_bins <= 12 keeps the key within int31.
+    q = jnp.round(normals * normal_bins).astype(jnp.int32) + normal_bins
+    B = jnp.int32(2 * normal_bins + 2)
+    d = jnp.sum(normals * points, axis=-1)
+    dq = jnp.clip(jnp.round(d / offset_res).astype(jnp.int32), -2047, 2047)
+    key = ((q[:, 0] * B + q[:, 1]) * B + q[:, 2]) * jnp.int32(4096) \
+        + (dq + 2048)
+    valid = mask & (curvature <= curvature_thresh)
+    return _compact_unique_keys(key, valid)
 
 
 @partial(jax.jit, static_argnames=("k",))
@@ -126,7 +179,8 @@ def compact_labels(labels: jax.Array, mask: jax.Array, max_clusters: int):
     return comp, cluster_valid, top_sizes
 
 
-@partial(jax.jit, static_argnames=("normal_k", "graph_k", "out_capacity"))
+@partial(jax.jit, static_argnames=("normal_k", "graph_k", "out_capacity",
+                                   "method"))
 def plane_segmentation_filter(
     points: jax.Array,
     mask: jax.Array,
@@ -137,6 +191,8 @@ def plane_segmentation_filter(
     curvature_thresh: float = 1.0,
     min_cluster_size: int = 50,
     out_capacity: int | None = None,
+    method: str = "hough",
+    normal_radius: float = 0.4,
 ):
     """Planes-only retention on an already-downsampled cloud.
 
@@ -148,21 +204,34 @@ def plane_segmentation_filter(
     Returns (points, mask, normals, curvature, labels); when `out_capacity`
     is given, kept points are compacted to that capacity (order preserved).
 
-    One approximate kNN build (k = normal_k) is shared between normal
-    estimation and the region-growing graph (its nearest graph_k columns).
+    method="hough" (default): gather-free radius normals + quantized
+    (normal, offset) plane binning — O(N) matmuls + one sort, ~10x faster
+    on TPU than graph propagation. method="region_growing": one approximate
+    kNN build shared between normal estimation and bounded-iteration
+    min-label propagation — closer to PCL's connectivity semantics.
     """
-    from .knn import knn as _knn
-    from .normals import normals_from_neighbors
+    if method == "hough":
+        from .normals import radius_normals
 
-    _, nbr_idx = _knn(points, mask, points, mask, normal_k, approx=True)
-    normals, curvature, _ = normals_from_neighbors(points, mask, nbr_idx,
-                                                   viewpoint)
-    labels = label_propagation_clusters(
-        points, mask, normals, curvature,
-        k=graph_k, smoothness_deg=smoothness_deg,
-        curvature_thresh=curvature_thresh,
-        neighbor_idx=nbr_idx,
-    )
+        normals, curvature, _ = radius_normals(points, mask, normal_radius,
+                                               viewpoint)
+        labels = hough_plane_labels(points, mask, normals, curvature,
+                                    curvature_thresh=curvature_thresh)
+    elif method == "region_growing":
+        from .knn import knn as _knn
+        from .normals import normals_from_neighbors
+
+        _, nbr_idx = _knn(points, mask, points, mask, normal_k, approx=True)
+        normals, curvature, _ = normals_from_neighbors(points, mask, nbr_idx,
+                                                       viewpoint)
+        labels = label_propagation_clusters(
+            points, mask, normals, curvature,
+            k=graph_k, smoothness_deg=smoothness_deg,
+            curvature_thresh=curvature_thresh,
+            neighbor_idx=nbr_idx,
+        )
+    else:
+        raise ValueError(f"unknown segmentation method {method!r}")
     keep = filter_small_clusters(labels, mask, min_cluster_size)
 
     if out_capacity is None:

@@ -121,10 +121,11 @@ class App:
 
         @jax.jit
         def icp_normals(points, mask, viewpoint):
-            """SurfaceNormalDataPointsFilter knn=20 on the reference
-            (icp_autotuned.yaml:18-23)."""
-            normals, _, _ = estimate_normals(points, mask, cfg.icp_normal_k,
-                                             viewpoint)
+            """SurfaceNormalDataPointsFilter analog on the reference
+            (icp_autotuned.yaml:18-23) — gather-free radius normals."""
+            from ..ops.normals import radius_normals
+
+            normals, _, _ = radius_normals(points, mask, 0.4, viewpoint)
             return normals
 
         @jax.jit
@@ -316,7 +317,9 @@ class App:
             with t.section("computeRegistration"):
                 ref_normals = self._reference_with_normals(
                     ref_cloud, ref_pose, ref_id)
-                ratio = clamp_trim_ratio(jnp.float32(octree_overlap))
+                ratio = clamp_trim_ratio(jnp.float32(octree_overlap),
+                                         cfg.trim_ratio_floor,
+                                         cfg.trim_ratio_ceil)
                 result = self._register(read_f.points, read_f.mask,
                                         ref_cloud.points, ref_normals,
                                         ref_cloud.mask, ratio)

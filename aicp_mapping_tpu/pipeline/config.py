@@ -53,6 +53,8 @@ class PipelineConfig:
     # --- ICP chain (icp_autotuned.yaml) ---
     icp: ICPConfig = dataclasses.field(default_factory=ICPConfig)
     icp_normal_k: int = 20                 # SurfaceNormalDataPointsFilter knn
+    trim_ratio_floor: float = 0.25         # auto-tune clamp (app.cpp:198-202);
+    trim_ratio_ceil: float = 0.70          # raise the floor without odometry
 
     # --- static capacities (TPU shape budget; powers of two for tiling) ---
     raw_capacity: int = 131072

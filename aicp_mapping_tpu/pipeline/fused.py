@@ -65,7 +65,8 @@ def make_frame_step(cfg: PipelineConfig):
         overlap = jnp.minimum(ra, rb) * 100.0
 
         # Auto-tune + trimmed point-to-plane ICP (app.cpp:187-216)
-        ratio = clamp_trim_ratio(overlap)
+        ratio = clamp_trim_ratio(overlap, cfg.trim_ratio_floor,
+                                 cfg.trim_ratio_ceil)
         res = point_to_plane_icp(fpts, fmask, ref_points, ref_normals,
                                  ref_mask, init_T, ratio, cfg.icp)
         return FusedFrameOutput(
@@ -83,20 +84,23 @@ def make_frame_step(cfg: PipelineConfig):
 
 
 def make_reference_prep(cfg: PipelineConfig):
-    """Jitted reference-side prep: prefilter + ICP normals (knn=20)."""
+    """Jitted reference-side prep: prefilter + ICP normals.
+
+    The hough prefilter already computes viewpoint-oriented radius normals
+    for every surviving point (SurfaceNormalDataPointsFilter analog,
+    icp_autotuned.yaml:12-23), so they are reused directly instead of a
+    second kNN pass."""
 
     @jax.jit
     def prep(points, mask, viewpoint):
         dpts, dmask = voxel_downsample(points, mask, cfg.voxel_size,
                                        cfg.downsample_capacity)
-        fpts, fmask, _, _, _ = plane_segmentation_filter(
+        fpts, fmask, fnormals, _, _ = plane_segmentation_filter(
             dpts, dmask, viewpoint=viewpoint,
             normal_k=cfg.prefilter_normal_k, graph_k=cfg.graph_k,
             smoothness_deg=cfg.smoothness_deg,
             min_cluster_size=cfg.min_cluster_size,
             out_capacity=cfg.filtered_capacity)
-        normals, _, _ = estimate_normals(fpts, fmask, cfg.icp_normal_k,
-                                         viewpoint)
-        return fpts, fmask, normals
+        return fpts, fmask, fnormals
 
     return prep

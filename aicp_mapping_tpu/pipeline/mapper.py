@@ -25,7 +25,7 @@ from jax.sharding import Mesh
 
 from ..cloud import Cloud
 from ..geometry import se3
-from ..ops.normals import estimate_normals
+from ..ops.normals import radius_normals
 from ..overlap.voxel_overlap import compute_overlap
 from ..parallel.posegraph import (
     PoseGraph,
@@ -103,8 +103,8 @@ class PoseGraphMapper:
                 if ov_pct < self.min_loop_overlap:
                     continue
                 # verify with registration: align kb's cloud to ka's
-                normals, _, _ = estimate_normals(
-                    ka.cloud.points, ka.cloud.mask, cfg.icp_normal_k,
+                normals, _, _ = radius_normals(
+                    ka.cloud.points, ka.cloud.mask, 0.4,
                     jnp.asarray(ka.pose[:3, 3]))
                 res = point_to_plane_icp(
                     kb.cloud.points, kb.cloud.mask,

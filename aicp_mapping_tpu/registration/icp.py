@@ -183,7 +183,12 @@ def degeneracy_predictions(hessian: jax.Array):
     return degeneracy, icn
 
 
-def clamp_trim_ratio(overlap_percent: jax.Array) -> jax.Array:
-    """Auto-tune rule: ratio = overlap/100 clamped to [0.25, 0.70]
-    (reference app.cpp:198-202)."""
-    return jnp.clip(overlap_percent / 100.0, 0.25, 0.70)
+def clamp_trim_ratio(overlap_percent: jax.Array,
+                     lo: float = 0.25, hi: float = 0.70) -> jax.Array:
+    """Auto-tune rule: ratio = overlap/100 clamped to [lo, hi]
+    (reference defaults [0.25, 0.70], app.cpp:198-202).
+
+    Raise `lo` (e.g. 0.5) when the odometry prior is weak — a misaligned
+    prior under-measures overlap, and an over-aggressive trim then locks
+    onto the coincidentally-aligned subset and never recovers the offset."""
+    return jnp.clip(overlap_percent / 100.0, lo, hi)

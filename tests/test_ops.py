@@ -138,3 +138,25 @@ def test_masked_quantile():
     assert float(ops.masked_quantile(vals, mask, 1.0)) == 49.0
     assert float(ops.masked_median(vals, mask)) == 24.0
     assert float(ops.masked_mean(vals, mask)) == np.arange(50).mean()
+
+
+def test_radius_normals_match_knn_normals():
+    """Gather-free radius normals must agree with kNN-PCA normals on a
+    uniformly sampled plane scene."""
+    import jax.numpy as jnp
+    from aicp_mapping_tpu.ops.normals import estimate_normals, radius_normals
+    from aicp_mapping_tpu.tools.synthetic import room_cloud
+    from aicp_mapping_tpu.cloud import Cloud
+    from aicp_mapping_tpu.ops.voxel import voxel_downsample
+
+    pts = room_cloud(n=6000, seed=3, noise=0.005)
+    c = Cloud.from_numpy(pts, capacity=8192)
+    dp, dm = voxel_downsample(c.points, c.mask, 0.08, 4096)
+    nk, ck, _ = estimate_normals(dp, dm, k=30)
+    nr, cr, cnt = radius_normals(dp, dm, radius=0.4)
+    m = np.asarray(dm)
+    # normals agree up to sign for the vast majority of points
+    dots = np.abs(np.sum(np.asarray(nk) * np.asarray(nr), axis=-1))[m]
+    assert (dots > 0.95).mean() > 0.9, (dots > 0.95).mean()
+    # neighborhoods are populated
+    assert float(np.asarray(cnt)[m].mean()) > 5
