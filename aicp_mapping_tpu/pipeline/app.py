@@ -187,6 +187,16 @@ class App:
         pts = filtered.to_numpy()
         self.prior_map = Cloud.from_numpy(pts, capacity=self.cfg.map_capacity)
 
+    def set_initial_guess(self, pose_in_map: np.ndarray,
+                          world_to_body: np.ndarray) -> None:
+        """Interactive-marker initial guess for prior-map localization
+        (app_ros.cpp:86-91): seed the total correction with
+        marker_pose * odometry^-1 so corrected poses start in the map frame."""
+        self.total_correction = (
+            np.asarray(pose_in_map, np.float32)
+            @ np.linalg.inv(np.asarray(world_to_body, np.float32))
+        ).astype(np.float32)
+
     def go_back_to_map(self) -> None:
         """Go-back service analog (app_ros.cpp:324-357): snapshot built map as
         prior map and flip to localization-only mode."""
