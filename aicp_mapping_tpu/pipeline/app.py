@@ -288,6 +288,8 @@ class App:
 
         with t.section("setAndFilterReading"):
             read_f = self.filter_cloud(reading_raw, se3.translation(read_pose))
+        if cfg.debug_dir:
+            self._dump_debug_cloud(read_f, "prefiltered")
 
         # ---------------- overlap (app.cpp:112-141) ------------------------
         with t.section("computeOverlap"):
@@ -359,6 +361,8 @@ class App:
                 return res
 
             aligned = read_f.transform(jnp.asarray(correction))
+            if cfg.debug_dir:
+                self._dump_debug_cloud(aligned, "aligned")
             cloud.update(aligned, jnp.asarray(correction),
                          is_reference=False,
                          its_reference_id=self.graph.current_reference_id)
@@ -440,6 +444,25 @@ class App:
             filtered_size=int(read_f.count()))
         self.frames.append(res)
         return res
+
+    def _dump_debug_cloud(self, cloud: Cloud, tag: str) -> None:
+        """Debug artifacts like the reference's /tmp/aicp_data PCD dumps
+        (app.cpp:339-350, 495-505)."""
+        import os
+
+        from ..io.pcd import write_pcd
+
+        os.makedirs(self.cfg.debug_dir, exist_ok=True)
+        write_pcd(os.path.join(
+            self.cfg.debug_dir,
+            f"cloud_{self.graph.n_clouds:04d}_{tag}.pcd"), cloud.to_numpy())
+
+    def inject_correction(self, correction: np.ndarray) -> None:
+        """Fault injection: apply an artificial correction to the output
+        chain, as the reference's send_fake_pose_correction scripts do to
+        test downstream integration (SURVEY.md §5.3)."""
+        self.total_correction = (
+            np.asarray(correction, np.float32) @ self.total_correction)
 
     # Corrected-pose output path (robotPoseCallBack analog,
     # app_ros.cpp:68-149): compose live odometry with the latest total

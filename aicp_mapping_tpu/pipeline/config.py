@@ -29,6 +29,9 @@ class PipelineConfig:
     localize_against_built_map: bool = False
     merge_aligned_clouds_to_map: bool = False
     verbose: bool = False
+    debug_dir: str = ""                    # dump per-frame PCDs like the
+                                           # reference's /tmp/aicp_data
+                                           # (app.cpp:19-29, 339-350)
 
     # --- RegistrationParams (aicp_registration/common.hpp:7-23) ---
     sensor_range: float = 100.0            # aicp_config.yaml:4

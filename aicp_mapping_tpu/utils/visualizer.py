@@ -14,6 +14,17 @@ from typing import Optional
 import numpy as np
 
 
+def occupied_cells(points: "np.ndarray", resolution: float) -> "np.ndarray":
+    """Centers of occupied voxel cells — the octree-drawing analog
+    (drawingUtils.cpp publishOctreeToLCM: leaf centers at the query depth).
+    Host-side numpy; for visualization sinks, not the hot path."""
+    import numpy as np
+
+    pts = np.asarray(points, np.float32).reshape(-1, 3)
+    q = np.unique(np.floor(pts / resolution).astype(np.int64), axis=0)
+    return ((q + 0.5) * resolution).astype(np.float32)
+
+
 class Visualizer:
     """Abstract sink; all hooks are optional no-ops."""
 

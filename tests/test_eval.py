@@ -89,3 +89,45 @@ def test_kitti_runner_synthetic(tmp_path):
     rel_gt = np.linalg.inv(gt[0]) @ gt[-1]
     err = np.linalg.norm(rel_est[:3, 3] - rel_gt[:3, 3])
     assert err < 0.5, err
+
+
+def test_pairwise_experiment(tmp_path):
+    """Batch N x N pair driver (run_registration.sh analog): world-frame
+    clouds with GT poses -> near-identity corrections, full matrices."""
+    import numpy as np
+    from aicp_mapping_tpu.eval.experiment import (
+        matrices, run_pairwise, write_compare_results)
+    from aicp_mapping_tpu.tools.synthetic import room_cloud
+
+    world = room_cloud(n=4000, seed=6, noise=0.01)
+    rng = np.random.default_rng(0)
+    clouds, poses = [], []
+    for i in range(3):
+        sel = rng.choice(len(world), 3000, replace=False)
+        clouds.append(world[sel])
+        poses.append(np.eye(4, dtype=np.float32))
+    results = run_pairwise(clouds, poses, capacity=4096)
+    assert len(results) == 6
+    for r in results:
+        assert r.octree_overlap > 50
+        assert r.t_error < 0.05, (r.reference_id, r.reading_id, r.t_error)
+    out = tmp_path / "compare_results.txt"
+    write_compare_results(str(out), results)
+    assert len(out.read_text().splitlines()) == 6
+    ov, terr = matrices(results, 3)
+    assert np.isnan(np.diag(ov)).all()
+    assert np.nanmin(ov) > 50
+
+
+def test_fault_injection():
+    from aicp_mapping_tpu.pipeline.app import App
+    from aicp_mapping_tpu.pipeline.config import PipelineConfig
+    import numpy as np
+
+    app = App(PipelineConfig(raw_capacity=1024, downsample_capacity=512,
+                             filtered_capacity=256))
+    fake = np.eye(4, dtype=np.float32)
+    fake[:3, 3] = [0.5, 0.0, 0.0]
+    app.inject_correction(fake)
+    out = app.correct_pose(np.eye(4, dtype=np.float32))
+    np.testing.assert_allclose(out[:3, 3], [0.5, 0, 0], atol=1e-6)

@@ -71,3 +71,42 @@ def test_kitti_poses_roundtrip(tmp_path):
     write_kitti_poses(path, poses)
     got = read_kitti_poses(path)
     np.testing.assert_allclose(got, poses, atol=1e-6)
+
+
+def test_vtk_roundtrip(tmp_path):
+    from aicp_mapping_tpu.io.vtk import read_vtk, write_vtk
+
+    rng = np.random.default_rng(0)
+    pts = rng.uniform(-5, 5, (200, 3)).astype(np.float32)
+    for binary in (False, True):
+        p = str(tmp_path / f"c_{binary}.vtk")
+        write_vtk(p, pts, binary=binary)
+        got = read_vtk(p)
+        np.testing.assert_allclose(got, pts, atol=1e-5)
+
+
+def test_occupied_cells():
+    from aicp_mapping_tpu.utils.visualizer import occupied_cells
+
+    pts = np.array([[0.1, 0.1, 0.1], [0.15, 0.12, 0.13], [1.3, 0.1, 0.1]],
+                   np.float32)
+    cells = occupied_cells(pts, 0.5)
+    assert cells.shape == (2, 3)
+    np.testing.assert_allclose(cells[0], [0.25, 0.25, 0.25], atol=1e-6)
+
+
+def test_debug_dir_dumps(tmp_path):
+    import os
+    from aicp_mapping_tpu.pipeline.app import App
+    from aicp_mapping_tpu.pipeline.config import PipelineConfig
+    from aicp_mapping_tpu.pipeline.sequence import (SequenceRunner,
+                                                    synthetic_sequence)
+
+    cfg = PipelineConfig(raw_capacity=8192, downsample_capacity=4096,
+                         filtered_capacity=2048, min_cluster_size=20,
+                         debug_dir=str(tmp_path / "aicp_data"))
+    items, _ = synthetic_sequence(n_frames=3, n_points=3000, seed=8)
+    SequenceRunner(App(cfg)).run_clouds(items)
+    files = os.listdir(cfg.debug_dir)
+    assert any("prefiltered" in f for f in files)
+    assert any("aligned" in f for f in files)

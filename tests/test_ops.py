@@ -160,3 +160,20 @@ def test_radius_normals_match_knn_normals():
     assert (dots > 0.95).mean() > 0.9, (dots > 0.95).mean()
     # neighborhoods are populated
     assert float(np.asarray(cnt)[m].mean()) > 5
+
+
+def test_masked_quantile_hist_matches_exact():
+    import jax.numpy as jnp
+    from aicp_mapping_tpu.ops.quantile import (masked_quantile,
+                                               masked_quantile_hist)
+
+    rng = np.random.default_rng(0)
+    v = jnp.asarray(rng.exponential(2.0, 4096).astype(np.float32))
+    m = jnp.asarray(rng.random(4096) > 0.2)
+    for q in (0.25, 0.5, 0.7, 0.9):
+        exact = float(masked_quantile(v, m, jnp.float32(q)))
+        approx = float(masked_quantile_hist(v, m, jnp.float32(q)))
+        # within one fine-bin width of the exact quantile, and conservative
+        # (approx >= exact so the trim keeps at least the requested fraction)
+        assert approx >= exact - 1e-6, (q, exact, approx)
+        assert approx - exact < float(v.max()) / (128 * 128) + 1e-4, (q, exact, approx)
