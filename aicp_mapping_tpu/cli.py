@@ -216,6 +216,12 @@ def _cmd_kitti_eval(args) -> int:
     t_rpe, r_rpe = rpe(gt[:n], res[:n])
     summary["rpe_trans"] = t_rpe
     summary["rpe_rot"] = r_rpe
+    if args.plot:
+        from .eval.plots import plot_segment_errors, plot_trajectories
+        plot_trajectories(args.plot, gt[:n], res[:n])
+        if errors:
+            plot_segment_errors(args.plot.replace(".png", "_err.png"), errors)
+        summary["plot"] = args.plot
     print(json.dumps(summary, indent=2))
     return 0
 
@@ -325,6 +331,7 @@ def build_parser() -> argparse.ArgumentParser:
     k.add_argument("result")
     k.add_argument("--align", action="store_true",
                    help="Umeyama-align before ATE")
+    k.add_argument("--plot", help="write a trajectory plot PNG here")
     k.set_defaults(func=_cmd_kitti_eval)
 
     g = sub.add_parser("remove-ground", help="progressive morphological filter")

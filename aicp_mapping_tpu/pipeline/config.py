@@ -12,6 +12,7 @@ runtime parameter, not a YAML rewrite (design delta, SURVEY.md §7).
 from __future__ import annotations
 
 import dataclasses
+import os
 
 from ..registration.icp import ICPConfig
 
@@ -75,6 +76,8 @@ def load_yaml_config(path: str, base: PipelineConfig | None = None) -> PipelineC
     import yaml
 
     cfg = dataclasses.replace(base) if base else PipelineConfig()
+    # env-var expansion in the config path (fileIO.cpp:215-232 semantics)
+    path = os.path.expandvars(os.path.expanduser(path))
     with open(path) as f:
         doc = yaml.safe_load(f) or {}
     aicp = doc.get("AICP", doc)
@@ -112,6 +115,7 @@ def load_yaml_config(path: str, base: PipelineConfig | None = None) -> PipelineC
             min_diff_rot=float(icp.get("minDiffRotErr", cfg.icp.min_diff_rot)),
             smooth_length=int(icp.get("smoothLength", cfg.icp.smooth_length)),
             error_metric=str(icp.get("errorMetric", cfg.icp.error_metric)),
+            max_match_dist=float(icp.get("maxDist", cfg.icp.max_match_dist)),
         )
     pipe = aicp.get("Pipeline", {}) or {}
     for yaml_key, attr in (

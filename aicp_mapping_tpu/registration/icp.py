@@ -46,6 +46,10 @@ class ICPConfig:
     # "point_to_plane" (Chen91, icp_autotuned.yaml) or "point_to_point"
     # (Besl92, config/icp/icp_max_atlas_finals.yaml-style chains)
     error_metric: str = "point_to_plane"
+    # MaxDistOutlierFilter analog (the reference's icp_max_* chain variants):
+    # matches farther than this (meters) are rejected regardless of the trim
+    # quantile; 0 disables.
+    max_match_dist: float = 0.0
 
 
 @jax.tree_util.register_dataclass
@@ -98,6 +102,9 @@ def point_to_plane_icp(
                          config.use_pallas)
         # histogram quantile: ~7x cheaper than sort in the per-iteration loop
         thresh = masked_quantile_hist(dist2, reading_mask, trim_ratio)
+        if config.max_match_dist > 0.0:
+            thresh = jnp.minimum(thresh,
+                                 jnp.float32(config.max_match_dist ** 2))
         w = m_f * (dist2 <= thresh) * (dist2 < _BIG)
         q = reference_points[idx]
         if config.error_metric == "point_to_plane":

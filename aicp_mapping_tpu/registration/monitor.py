@@ -31,6 +31,24 @@ def hausdorff_distance(points_a, mask_a, points_b, mask_b, quantile=1.0):
 
 
 @jax.jit
+def distances_knn(points_a, mask_a, points_b, mask_b):
+    """Per-point nearest-neighbor distances of cloud A against cloud B
+    (icpMonitor.cpp:89-138 `distancesKNN`): returns (dists (N,), idx (N,))
+    with +inf for invalid entries."""
+    d2, idx = nn_argmin_xla(points_a, mask_a, points_b, mask_b)
+    d = jnp.sqrt(jnp.maximum(d2, 0.0))
+    return jnp.where(mask_a, d, _BIG), idx
+
+
+@jax.jit
+def paired_points_mean_distance(points_a, points_b, mask):
+    """Mean distance between already-paired points (icpMonitor.cpp:146-231):
+    both arrays index-aligned, e.g. inlier matches after registration."""
+    d = jnp.linalg.norm(points_a - points_b, axis=-1)
+    return masked_mean(d, mask)
+
+
+@jax.jit
 def residual_stats(dist2, mask, quantile=0.75):
     """Mean / median / quantile of NN residual distances (meters)."""
     d = jnp.sqrt(jnp.maximum(jnp.where(mask, dist2, 0.0), 0.0))

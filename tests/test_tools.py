@@ -205,3 +205,46 @@ def test_cli_kitti_eval(tmp_path, capsys):
     out = json.loads(capsys.readouterr().out)
     assert out["t_err_percent"] < 1.0
     assert out["ate_rmse"] == pytest.approx(0.05, abs=1e-6)
+
+
+def test_cli_kitti_eval_plot(tmp_path, capsys):
+    from aicp_mapping_tpu.io.poses import write_kitti_poses
+    n = 200
+    poses = np.tile(np.eye(4), (n, 1, 1))
+    poses[:, 0, 3] = np.arange(n)
+    poses[:, 2, 3] = 0.05 * np.arange(n)
+    est = poses.copy()
+    est[:, 1, 3] = 0.02
+    gt_f, res_f = tmp_path / "gt.txt", tmp_path / "res.txt"
+    write_kitti_poses(str(gt_f), poses)
+    write_kitti_poses(str(res_f), est)
+    png = tmp_path / "traj.png"
+    rc = cli_main(["kitti-eval", str(gt_f), str(res_f), "--plot", str(png)])
+    assert rc == 0
+    capsys.readouterr()
+    assert png.exists() and png.stat().st_size > 1000
+    assert (tmp_path / "traj_err.png").exists()
+
+
+def test_icp_max_match_dist():
+    """MaxDistOutlierFilter analog: far matches rejected even inside the
+    trim quantile."""
+    import jax.numpy as jnp
+    from aicp_mapping_tpu.cloud import Cloud
+    from aicp_mapping_tpu.geometry import se3
+    from aicp_mapping_tpu.ops.normals import radius_normals
+    from aicp_mapping_tpu.registration import ICPConfig, point_to_plane_icp
+    from aicp_mapping_tpu.tools.synthetic import room_cloud
+
+    pts = room_cloud(n=3000, seed=2, noise=0.005)
+    ref = Cloud.from_numpy(pts, capacity=4096)
+    normals, _, _ = radius_normals(ref.points, ref.mask, 0.4)
+    T = se3.make_transform(se3.so3_exp(jnp.asarray([0.0, 0.0, 0.02])),
+                           jnp.asarray([0.05, -0.03, 0.01]))
+    reading = Cloud(se3.transform_points(T, ref.points), ref.mask)
+    res = point_to_plane_icp(reading.points, reading.mask, ref.points,
+                             normals, ref.mask, se3.identity(),
+                             jnp.float32(0.7),
+                             ICPConfig(max_match_dist=0.5))
+    err = se3.compose(res.T, T)
+    assert float(jnp.linalg.norm(se3.translation(err))) < 0.02
