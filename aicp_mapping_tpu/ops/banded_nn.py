@@ -1,0 +1,182 @@
+"""Morton-banded nearest-neighbor search — map-scale correspondence.
+
+The full tiled kernel (ops.knn) streams EVERY reference tile past every
+query tile: O(M x N). For frame-to-map localization the reference is a
+cropped map an order of magnitude larger than a scan, and almost all of
+those tile pairs are spatially irrelevant. This op exploits locality the
+TPU-native way (the "ring-attention-like" banding of SURVEY.md §5.7):
+
+  1. both clouds are sorted by 30-bit Morton code on a shared grid, so
+     spatially nearby points land in contiguous tile ranges;
+  2. for each query tile the bracketing reference positions are found with
+     two vectorized searchsorted calls;
+  3. a Pallas kernel with scalar-prefetched window starts streams only
+     `band` reference tiles per query tile (grid = (tiles, band), output
+     revisited with a running argmin).
+
+Compute drops from O(M x N) to O(M x band x TN). The result is exact
+whenever each query's true nearest neighbor lies inside its tile's window —
+with sane cell sizes that holds for >99% of points, and trimmed-ICP
+discards the remainder (their reported distances are upper bounds).
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_BIG_F = 3.4e38
+_BIG = jnp.float32(_BIG_F)
+
+
+def _spread3(v: jax.Array) -> jax.Array:
+    """Spread the low 10 bits of each int32 lane 3 apart (Morton helper)."""
+    v = v & 0x3FF
+    v = (v | (v << 16)) & 0x030000FF
+    v = (v | (v << 8)) & 0x0300F00F
+    v = (v | (v << 4)) & 0x030C30C3
+    v = (v | (v << 2)) & 0x09249249
+    return v
+
+
+def morton_codes(points: jax.Array, mask: jax.Array, origin: jax.Array,
+                 cell_size) -> jax.Array:
+    """30-bit Morton codes on a shared grid; invalid points get INT32_MAX so
+    they sort to the back."""
+    q = jnp.floor((points - origin) / cell_size).astype(jnp.int32)
+    q = jnp.clip(q, 0, 1023)
+    code = ((_spread3(q[:, 0]) << 2) | (_spread3(q[:, 1]) << 1)
+            | _spread3(q[:, 2]))
+    return jnp.where(mask, code, jnp.int32(2**31 - 1))
+
+
+def _banded_kernel(start_ref, qt_ref, rt_ref, rsq_ref, dist_ref, idx_ref,
+                   *, tn: int):
+    j = pl.program_id(1)
+    tm = qt_ref.shape[1]
+    qt = qt_ref[:]
+    q2 = jnp.sum(qt * qt, axis=0)
+    r = rt_ref[:]
+    r2 = rsq_ref[0, :]
+    cross = jax.lax.dot_general(
+        qt, r, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    d = q2[:, None] - 2.0 * cross + r2[None, :]
+    base = (start_ref[pl.program_id(0)] + j) * tn
+    tile_min = jnp.min(d, axis=1)
+    tile_arg = jnp.argmin(d, axis=1).astype(jnp.int32) + base
+
+    @pl.when(j == 0)
+    def _init():
+        dist_ref[0, :] = jnp.full((tm,), _BIG_F, jnp.float32)
+        idx_ref[0, :] = jnp.zeros((tm,), jnp.int32)
+
+    best = dist_ref[0, :]
+    take = tile_min < best
+    dist_ref[0, :] = jnp.where(take, jnp.maximum(tile_min, 0.0), best)
+    idx_ref[0, :] = jnp.where(take, tile_arg, idx_ref[0, :])
+
+
+@partial(jax.jit, static_argnames=())
+def banded_prepare(refs, rmask, origin, cell_size):
+    """Sort the reference once; the result is reused by every query call
+    (across all ICP iterations and frames sharing a reference).
+
+    Returns (rt (3, N) sorted coordinate-major, rsq (1, N) with +BIG pads,
+    rcodes_sorted (N,), rperm (N,))."""
+    rcodes = morton_codes(refs, rmask, origin, cell_size)
+    rperm = jnp.argsort(rcodes)
+    rs = refs[rperm]
+    rt = rs.T.astype(jnp.float32)
+    rsq = jnp.sum(rt * rt, axis=0)[None, :]
+    rsq = jnp.where(rmask[rperm][None, :], rsq, _BIG)
+    return rt, rsq, rcodes[rperm], rperm
+
+
+@partial(jax.jit, static_argnames=("band", "tm", "tn", "interpret"))
+def nn_argmin_banded_prepared(queries, qmask, rt, rsq, rcodes_s, rperm,
+                              origin, cell_size, band: int = 8,
+                              tm: int = 512, tn: int = 1024,
+                              interpret: bool = False):
+    """Banded 1-NN against a `banded_prepare`d reference."""
+    M, N = queries.shape[0], rt.shape[1]
+    assert M % tm == 0 and N % tn == 0, (M, N, tm, tn)
+    n_rblocks = N // tn
+    band = min(band, n_rblocks)
+
+    qcodes = morton_codes(queries, qmask, origin, cell_size)
+    qperm = jnp.argsort(qcodes)
+    qs = queries[qperm]
+    qcodes_s = qcodes[qperm]
+
+    # per-tile window: bracket the tile's code range in the sorted refs
+    tile_lo = qcodes_s.reshape(M // tm, tm)[:, 0]
+    tile_hi = qcodes_s.reshape(M // tm, tm)[:, -1]
+    lo_pos = jnp.searchsorted(rcodes_s, tile_lo, side="left")
+    hi_pos = jnp.searchsorted(rcodes_s, tile_hi, side="right")
+    center = (lo_pos + hi_pos) // (2 * tn)
+    start = jnp.clip(center - band // 2, 0, n_rblocks - band).astype(jnp.int32)
+
+    qt = qs.T.astype(jnp.float32)                      # (3, M)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(M // tm, band),
+        in_specs=[
+            pl.BlockSpec((3, tm), lambda i, j, s: (0, i)),
+            pl.BlockSpec((3, tn), lambda i, j, s: (0, s[i] + j)),
+            pl.BlockSpec((1, tn), lambda i, j, s: (0, s[i] + j)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, tm), lambda i, j, s: (0, i)),
+            pl.BlockSpec((1, tm), lambda i, j, s: (0, i)),
+        ],
+    )
+    dist_s, idx_s = pl.pallas_call(
+        partial(_banded_kernel, tn=tn),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((1, M), jnp.float32),
+            jax.ShapeDtypeStruct((1, M), jnp.int32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * M * band * tn * 3 + 4 * M * band * tn,
+            bytes_accessed=4 * (3 * M + 3 * N + 2 * M),
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(start, qt, rt, rsq)
+
+    dist_s = dist_s.reshape(M)
+    idx_s = idx_s.reshape(M)
+    # back to original ref ids and original query order
+    idx_orig = rperm[jnp.clip(idx_s, 0, N - 1)].astype(jnp.int32)
+    inv_q = jnp.argsort(qperm)
+    dist = dist_s[inv_q]
+    idx = idx_orig[inv_q]
+    dist = jnp.where(qmask, dist, _BIG)
+    idx = jnp.where(qmask, idx, 0)
+    return dist, idx
+
+
+@partial(jax.jit, static_argnames=("band", "tm", "tn", "cell_size",
+                                   "interpret"))
+def nn_argmin_banded(queries, qmask, refs, rmask, band: int = 8,
+                     tm: int = 512, tn: int = 1024, cell_size: float = 4.0,
+                     interpret: bool = False):
+    """One-shot banded 1-NN (prepare + query). For repeated queries against
+    one reference, call `banded_prepare` once and
+    `nn_argmin_banded_prepared` per query set instead."""
+    big = jnp.float32(1e30)
+    origin = jnp.minimum(
+        jnp.min(jnp.where(qmask[:, None], queries, big), axis=0),
+        jnp.min(jnp.where(rmask[:, None], refs, big), axis=0))
+    rt, rsq, rcodes_s, rperm = banded_prepare(refs, rmask, origin, cell_size)
+    return nn_argmin_banded_prepared(
+        queries, qmask, rt, rsq, rcodes_s, rperm, origin,
+        jnp.float32(cell_size), band=band, tm=tm, tn=tn, interpret=interpret)

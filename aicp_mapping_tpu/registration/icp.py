@@ -50,6 +50,13 @@ class ICPConfig:
     # matches farther than this (meters) are rejected regardless of the trim
     # quantile; 0 disables.
     max_match_dist: float = 0.0
+    # Correspondence search: "full" = exhaustive tiled kernel; "banded" =
+    # Morton-banded windows (ops.banded_nn) — ~2x+ faster at map-scale
+    # references with >99% exact-NN recall; "auto" picks banded on TPU when
+    # the reference is large and shapes are tile-aligned.
+    nn_mode: str = "auto"
+    nn_band: int = 8
+    nn_cell_size: float = 4.0
 
 
 @jax.tree_util.register_dataclass
@@ -96,10 +103,31 @@ def point_to_plane_icp(
     S = config.smooth_length
     m_f = reading_mask.astype(jnp.float32)
 
+    M, N = reading_points.shape[0], reference_points.shape[0]
+    use_banded = (
+        config.nn_mode == "banded"
+        or (config.nn_mode == "auto" and jax.default_backend() == "tpu"
+            and N >= 32768 and M % 512 == 0 and N % 1024 == 0)
+    )
+    if use_banded:
+        from ..ops.banded_nn import banded_prepare, nn_argmin_banded_prepared
+
+        big = jnp.float32(1e30)
+        origin = jnp.min(jnp.where(reference_mask[:, None],
+                                   reference_points, big), axis=0)
+        ref_index = banded_prepare(reference_points, reference_mask, origin,
+                                   jnp.float32(config.nn_cell_size))
+
     def iteration(T):
         p = se3.transform_points(T, reading_points)
-        dist2, idx = _nn(p, reading_mask, reference_points, reference_mask,
-                         config.use_pallas)
+        if use_banded:
+            rt, rsq, rcodes_s, rperm = ref_index
+            dist2, idx = nn_argmin_banded_prepared(
+                p, reading_mask, rt, rsq, rcodes_s, rperm, origin,
+                jnp.float32(config.nn_cell_size), band=config.nn_band)
+        else:
+            dist2, idx = _nn(p, reading_mask, reference_points,
+                             reference_mask, config.use_pallas)
         # histogram quantile: ~7x cheaper than sort in the per-iteration loop
         thresh = masked_quantile_hist(dist2, reading_mask, trim_ratio)
         if config.max_match_dist > 0.0:
