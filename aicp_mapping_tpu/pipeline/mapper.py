@@ -86,41 +86,58 @@ class PoseGraphMapper:
 
     # -------------------- loop closures --------------------
     def propose_loop_closures(self) -> list[LoopClosure]:
-        """Overlap-gated candidates + ICP verification."""
+        """Overlap-gated candidates + ICP verification.
+
+        The distance gate runs on host; surviving pairs have their occupancy
+        overlap computed in one vmapped batch (a single device dispatch for
+        all candidates instead of one per pair); only overlap-qualified
+        pairs pay for ICP verification."""
         kfs = self.keyframes()
         cfg = self.app.cfg
         found = []
+        pairs = []
         for a in range(len(kfs)):
             for b in range(a + self.min_keyframe_gap + 1, len(kfs)):
-                ka, kb = kfs[a], kfs[b]
-                d = np.linalg.norm(ka.pose[:3, 3] - kb.pose[:3, 3])
-                if d > self.max_loop_distance:
-                    continue
-                ov = compute_overlap(ka.cloud.points, ka.cloud.mask,
-                                     kb.cloud.points, kb.cloud.mask,
-                                     cfg.octree_resolution)
-                ov_pct = float(ov.overlap_percent)
-                if ov_pct < self.min_loop_overlap:
-                    continue
-                # verify with registration: align kb's cloud to ka's
-                normals, _, _ = radius_normals(
-                    ka.cloud.points, ka.cloud.mask, 0.4,
-                    jnp.asarray(ka.pose[:3, 3]))
-                res = point_to_plane_icp(
-                    kb.cloud.points, kb.cloud.mask,
-                    ka.cloud.points, normals, ka.cloud.mask,
-                    se3.identity(), clamp_trim_ratio(jnp.float32(ov_pct)),
-                    cfg.icp)
-                U = np.asarray(res.T)
-                rms = float(res.inlier_rms)
-                if rms > 0.3 or np.any(
-                        np.abs(U[:3, 3]) > cfg.max_correction_magnitude * 4):
-                    continue
-                # Z_ij = T_i^{-1} (U T_j): the relative pose consistent with
-                # the verified alignment of cloud j onto cloud i.
-                Z = np.linalg.inv(ka.pose) @ (U @ kb.pose)
-                found.append(LoopClosure(a, b, Z.astype(np.float32),
-                                         ov_pct, rms))
+                d = np.linalg.norm(kfs[a].pose[:3, 3] - kfs[b].pose[:3, 3])
+                if d <= self.max_loop_distance:
+                    pairs.append((a, b))
+        if not pairs:
+            self.loop_closures = []
+            return []
+
+        pts = jnp.stack([k.cloud.points for k in kfs])
+        msk = jnp.stack([k.cloud.mask for k in kfs])
+        ia = jnp.asarray([p[0] for p in pairs], jnp.int32)
+        ib = jnp.asarray([p[1] for p in pairs], jnp.int32)
+        ovs = jax.vmap(
+            lambda a, b: compute_overlap(pts[a], msk[a], pts[b], msk[b],
+                                         cfg.octree_resolution).overlap_percent
+        )(ia, ib)
+        ovs = np.asarray(ovs)
+
+        for (a, b), ov_pct in zip(pairs, ovs.tolist()):
+            if ov_pct < self.min_loop_overlap:
+                continue
+            ka, kb = kfs[a], kfs[b]
+            # verify with registration: align kb's cloud to ka's
+            normals, _, _ = radius_normals(
+                ka.cloud.points, ka.cloud.mask, 0.4,
+                jnp.asarray(ka.pose[:3, 3]))
+            res = point_to_plane_icp(
+                kb.cloud.points, kb.cloud.mask,
+                ka.cloud.points, normals, ka.cloud.mask,
+                se3.identity(), clamp_trim_ratio(jnp.float32(ov_pct)),
+                cfg.icp)
+            U = np.asarray(res.T)
+            rms = float(res.inlier_rms)
+            if rms > 0.3 or np.any(
+                    np.abs(U[:3, 3]) > cfg.max_correction_magnitude * 4):
+                continue
+            # Z_ij = T_i^{-1} (U T_j): the relative pose consistent with
+            # the verified alignment of cloud j onto cloud i.
+            Z = np.linalg.inv(ka.pose) @ (U @ kb.pose)
+            found.append(LoopClosure(a, b, Z.astype(np.float32),
+                                     ov_pct, rms))
         self.loop_closures = found
         return found
 
