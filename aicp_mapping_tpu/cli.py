@@ -45,6 +45,24 @@ def _cmd_register(args) -> int:
     read_pose = viewpoint_to_pose(read_vp)
     ref_pose = viewpoint_to_pose(ref_vp)
 
+    # named ICP-chain config (reference: libpointmatcher YAML chains under
+    # aicp_core/config/icp/, loaded by pointmatcher_registration.cpp:56-66)
+    icp_cfg = None
+    read_mask, ref_mask = reading.mask, reference.mask
+    if args.icp_config:
+        from .pipeline.config import load_icp_chain_yaml
+        from .registration.chain import apply_chain_filters
+
+        icp_cfg, read_filt, ref_filt = load_icp_chain_yaml(args.icp_config)
+        read_mask = apply_chain_filters(
+            reading.points, read_mask,
+            jnp.asarray(read_pose[:3, 3], jnp.float32), read_filt,
+            seed=args.seed)
+        ref_mask = apply_chain_filters(
+            reference.points, ref_mask,
+            jnp.asarray(ref_pose[:3, 3], jnp.float32), ref_filt,
+            seed=args.seed + 1)
+
     init_T = se3.identity()
     if args.perturb_sigma_t > 0 or args.perturb_sigma_deg > 0:
         # random Gaussian initial perturbation for validation runs
@@ -55,19 +73,19 @@ def _cmd_register(args) -> int:
         init_T = se3.make_transform(se3.so3_exp(jnp.asarray(w, jnp.float32)),
                                     jnp.asarray(t, jnp.float32))
 
-    ov = compute_overlap(reference.points, reference.mask,
-                         reading.points, reading.mask)
+    ov = compute_overlap(reference.points, ref_mask,
+                         reading.points, read_mask)
     overlap = float(ov.overlap_percent)
     normals, _curv, _nmask = estimate_normals(reference.points,
-                                              reference.mask, k=args.normal_k)
-    fov_j, _, _ = fov_overlap(reference.points, reference.mask,
+                                              ref_mask, k=args.normal_k)
+    fov_j, _, _ = fov_overlap(reference.points, ref_mask,
                               jnp.asarray(ref_pose),
-                              reading.points, reading.mask,
+                              reading.points, read_mask,
                               jnp.asarray(read_pose))
     fov = float(fov_j)
     align_j, _diag = alignability_filter(
-        reference.points, reference.mask, jnp.asarray(ref_pose),
-        reading.points, reading.mask, jnp.asarray(read_pose))
+        reference.points, ref_mask, jnp.asarray(ref_pose),
+        reading.points, read_mask, jnp.asarray(read_pose))
     align = float(align_j)
 
     risk = -1.0
@@ -78,10 +96,16 @@ def _cmd_register(args) -> int:
         risk = float(np.asarray(clf.test(
             np.array([[overlap, align]], np.float32))).reshape(-1)[0])
 
-    ratio = clamp_trim_ratio(jnp.float32(overlap))
-    result = point_to_plane_icp(reading.points, reading.mask,
-                                reference.points, normals, reference.mask,
-                                init_T, ratio)
+    # fixed chain ratio when the named chain pins one (TrimmedDistOutlier-
+    # Filter ratio); otherwise the auto-tune clamp (app.cpp:198-205)
+    if icp_cfg is not None and icp_cfg.trim_ratio > 0:
+        ratio = jnp.float32(icp_cfg.trim_ratio)
+    else:
+        ratio = clamp_trim_ratio(jnp.float32(overlap))
+    result = point_to_plane_icp(reading.points, read_mask,
+                                reference.points, normals, ref_mask,
+                                init_T, ratio,
+                                *( (icp_cfg,) if icp_cfg is not None else () ))
     T = np.asarray(result.T)
     aligned = reading.transform(jnp.asarray(T))
     haus = float(hausdorff_distance(aligned.points, aligned.mask,
@@ -288,6 +312,8 @@ def build_parser() -> argparse.ArgumentParser:
     r.add_argument("reference")
     r.add_argument("-o", "--output", help="write aligned reading PCD")
     r.add_argument("--classifier", help="trained risk-classifier file")
+    r.add_argument("--icp-config",
+                   help="named ICP-chain YAML (configs/icp/*.yaml)")
     r.add_argument("--normal-k", type=int, default=12)
     r.add_argument("--perturb-sigma-t", type=float, default=0.0)
     r.add_argument("--perturb-sigma-deg", type=float, default=0.0)

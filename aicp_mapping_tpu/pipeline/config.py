@@ -71,6 +71,48 @@ class PipelineConfig:
     align_max_clusters: int = 32
 
 
+def _parse_icp_dict(icp: dict, base: ICPConfig) -> ICPConfig:
+    return dataclasses.replace(
+        base,
+        max_iterations=int(icp.get("maxIterationCount", base.max_iterations)),
+        min_diff_trans=float(icp.get("minDiffTransErr", base.min_diff_trans)),
+        min_diff_rot=float(icp.get("minDiffRotErr", base.min_diff_rot)),
+        smooth_length=int(icp.get("smoothLength", base.smooth_length)),
+        error_metric=str(icp.get("errorMetric", base.error_metric)),
+        max_match_dist=float(icp.get("maxDist", base.max_match_dist)),
+        trim_ratio=float(icp.get("trimRatio", base.trim_ratio)),
+    )
+
+
+def load_icp_chain_yaml(path: str, base: ICPConfig | None = None):
+    """Parse one named ICP-chain YAML (configs/icp/*.yaml — the rebuild's
+    analog of the reference's libpointmatcher chain files,
+    aicp_core/config/icp/*.yaml) into (ICPConfig, reading ChainFilterConfig,
+    reference ChainFilterConfig)."""
+    import yaml
+
+    from ..registration.chain import ChainFilterConfig
+
+    path = os.path.expandvars(os.path.expanduser(path))
+    with open(path) as f:
+        doc = yaml.safe_load(f) or {}
+    aicp = doc.get("AICP", doc)
+    icp = aicp.get("ICP", {}) or {}
+    cfg = _parse_icp_dict(icp, base or ICPConfig())
+
+    def _filters(d: dict) -> ChainFilterConfig:
+        return ChainFilterConfig(
+            min_dist=float(d.get("minDist", 0.0)),
+            max_dist=float(d.get("maxDist", 0.0)),
+            random_sampling_prob=float(d.get("randomSamplingProb", 1.0)),
+            max_density_cell=float(d.get("maxDensityCell", 0.0)),
+        )
+
+    reading = _filters(icp.get("readingFilters", {}) or {})
+    reference = _filters(icp.get("referenceFilters", {}) or {})
+    return cfg, reading, reference
+
+
 def load_yaml_config(path: str, base: PipelineConfig | None = None) -> PipelineConfig:
     """Parse the reference AICP YAML schema into a PipelineConfig."""
     import yaml
@@ -106,17 +148,7 @@ def load_yaml_config(path: str, base: PipelineConfig | None = None) -> PipelineC
     # typed, so the chain is a plain sub-dict)
     icp = aicp.get("ICP", {}) or {}
     if icp:
-        cfg.icp = dataclasses.replace(
-            cfg.icp,
-            max_iterations=int(icp.get("maxIterationCount",
-                                       cfg.icp.max_iterations)),
-            min_diff_trans=float(icp.get("minDiffTransErr",
-                                         cfg.icp.min_diff_trans)),
-            min_diff_rot=float(icp.get("minDiffRotErr", cfg.icp.min_diff_rot)),
-            smooth_length=int(icp.get("smoothLength", cfg.icp.smooth_length)),
-            error_metric=str(icp.get("errorMetric", cfg.icp.error_metric)),
-            max_match_dist=float(icp.get("maxDist", cfg.icp.max_match_dist)),
-        )
+        cfg.icp = _parse_icp_dict(icp, cfg.icp)
     pipe = aicp.get("Pipeline", {}) or {}
     for yaml_key, attr in (
             ("workingMode", "working_mode"),

@@ -5,4 +5,8 @@ from .icp import (  # noqa: F401
     degeneracy_predictions,
     point_to_plane_icp,
 )
+from .chain import (  # noqa: F401
+    ChainFilterConfig,
+    apply_chain_filters,
+)
 from .monitor import hausdorff_distance, residual_stats  # noqa: F401

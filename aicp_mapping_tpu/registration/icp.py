@@ -57,6 +57,10 @@ class ICPConfig:
     nn_mode: str = "auto"
     nn_band: int = 8
     nn_cell_size: float = 4.0
+    # Fixed trim ratio for non-auto-tuned chains (TrimmedDistOutlierFilter
+    # ratio in Besl92_pt2point.yaml / icp_3D_cfg_trimmed.yaml); 0 means the
+    # caller supplies the per-frame auto-tuned ratio (app.cpp:198-205).
+    trim_ratio: float = 0.0
 
 
 @jax.tree_util.register_dataclass
