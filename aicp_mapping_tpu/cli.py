@@ -13,6 +13,11 @@ kitti-eval     KITTI odometry evaluator (aicp_lcm/src/tools/kitti_devkit/
 remove-ground  PMF ground removal (aicp_lcm/src/tools/pcl_ground_removal.cpp)
 make-cube      synthetic cube generator (aicp_core/src/tools/create_cube_cloud.cpp)
 concat         cloud concatenation (aicp_core/src/tools/concatenate_clouds.cpp)
+oxts-to-kitti  KITTI trajectory from raw GPS (aicp_lcm/src/tools/
+               kitti_trajectory_from_raw_gps.cpp)
+accumulate     scan accumulation to one cloud (aicp_lcm/examples/
+               planar_laser_accumulate.cpp)
+vtk-to-octree  VTK -> occupancy cells (aicp_lcm/examples/vtk_to_octree.cpp)
 """
 from __future__ import annotations
 
@@ -301,6 +306,73 @@ def _cmd_concat(args) -> int:
     return 0
 
 
+def _cmd_oxts_to_kitti(args) -> int:
+    """KITTI trajectory from raw GPS/OXTS (tools/
+    kitti_trajectory_from_raw_gps.cpp analog — file conversion instead of
+    LCM publishing)."""
+    from .io.oxts import read_oxts_directory
+    from .io.poses import write_kitti_poses
+
+    poses = read_oxts_directory(args.oxts_dir)
+    write_kitti_poses(args.output, poses)
+    print(json.dumps({"poses": len(poses), "output": args.output}))
+    return 0
+
+
+def _cmd_accumulate(args) -> int:
+    """Accumulate a recorded sequence into one odom-frame cloud
+    (aicp_lcm/examples/planar_laser_accumulate.cpp analog over the
+    record/replay directory format)."""
+    from .io.poses import read_pose_csv
+    from .native import ScanAccumulator, read_cloud, write_pcd
+    import os
+
+    poses = read_pose_csv(os.path.join(args.directory,
+                                       "aicp_input_poses.csv"))
+    if args.max_scans:
+        poses = poses[: args.max_scans]
+    acc = ScanAccumulator(capacity=args.capacity, batch_size=len(poses),
+                          min_range=args.min_range, max_range=args.max_range)
+    used = 0
+    for p in poses:
+        path = os.path.join(args.directory,
+                            f"cloud_{p.counter}_{p.sec}_{p.nsec}.pcd")
+        if not os.path.exists(path):
+            continue
+        pts, _ = read_cloud(path)
+        acc.push(pts, p.pose)
+        used += 1
+    merged = acc.take()
+    if args.voxel > 0:
+        from .native import voxel_downsample
+        merged = voxel_downsample(merged, args.voxel)
+    write_pcd(args.output, merged)
+    print(json.dumps({"scans": used, "points": len(merged),
+                      "output": args.output}))
+    return 0
+
+
+def _cmd_vtk_to_octree(args) -> int:
+    """VTK cloud -> occupancy-voxel cloud (aicp_lcm/examples/
+    vtk_to_octree.cpp analog: the octree is the rebuild's voxel-hash
+    occupancy set; output is one point per occupied cell)."""
+    from .io.vtk import read_vtk
+    from .native import write_pcd
+    from .utils.visualizer import occupied_cells
+
+    pts = read_vtk(args.infile)
+    cells = occupied_cells(pts, args.resolution)
+    out = args.outfile
+    if out.endswith(".vtk"):
+        from .io.vtk import write_vtk
+        write_vtk(out, cells)
+    else:
+        write_pcd(out, cells)
+    print(json.dumps({"points": len(pts), "occupied_cells": len(cells),
+                      "resolution": args.resolution, "output": out}))
+    return 0
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="aicp_mapping_tpu",
                                 description=__doc__,
@@ -378,6 +450,31 @@ def build_parser() -> argparse.ArgumentParser:
     m.add_argument("--noise", type=float, default=0.0)
     m.add_argument("--seed", type=int, default=0)
     m.set_defaults(func=_cmd_make_cube)
+
+    ox = sub.add_parser("oxts-to-kitti",
+                        help="KITTI trajectory from raw OXTS/GPS records")
+    ox.add_argument("oxts_dir", help="directory of per-frame OXTS .txt files")
+    ox.add_argument("-o", "--output", required=True,
+                    help="KITTI-format poses output")
+    ox.set_defaults(func=_cmd_oxts_to_kitti)
+
+    ac = sub.add_parser("accumulate",
+                        help="accumulate a recorded sequence into one cloud")
+    ac.add_argument("directory", help="record/replay sequence directory")
+    ac.add_argument("-o", "--output", required=True)
+    ac.add_argument("--max-scans", type=int, default=0)
+    ac.add_argument("--capacity", type=int, default=1 << 21)
+    ac.add_argument("--min-range", type=float, default=0.5)
+    ac.add_argument("--max-range", type=float, default=30.0)
+    ac.add_argument("--voxel", type=float, default=0.0)
+    ac.set_defaults(func=_cmd_accumulate)
+
+    vo = sub.add_parser("vtk-to-octree",
+                        help="VTK cloud -> occupancy-voxel cell cloud")
+    vo.add_argument("infile")
+    vo.add_argument("outfile", help=".pcd or .vtk output of cell centers")
+    vo.add_argument("--resolution", type=float, default=0.2)
+    vo.set_defaults(func=_cmd_vtk_to_octree)
 
     cc = sub.add_parser("concat", help="concatenate clouds")
     cc.add_argument("output")

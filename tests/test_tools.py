@@ -248,3 +248,74 @@ def test_icp_max_match_dist():
                              ICPConfig(max_match_dist=0.5))
     err = se3.compose(res.T, T)
     assert float(jnp.linalg.norm(se3.translation(err))) < 0.02
+
+
+def test_cli_register_with_chain_config(pair_dir, capsys):
+    import os
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    rc = cli_main(["register", str(pair_dir / "read.pcd"),
+                   str(pair_dir / "ref.pcd"),
+                   "--icp-config",
+                   os.path.join(repo, "configs/icp/icp_tutorial.yaml")])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out)
+    assert out["trim_ratio"] == pytest.approx(0.9, abs=1e-5)
+    T = np.asarray(out["correction"])
+    np.testing.assert_allclose(T[:3, 3], [-0.1, 0.05, -0.02], atol=0.03)
+
+
+def test_cli_oxts_to_kitti(tmp_path, capsys):
+    # two OXTS records, 1 m east apart (lat lon alt rpy + 24 more fields)
+    d = tmp_path / "oxts"
+    d.mkdir()
+    base = [49.0, 8.43, 112.0, 0.0, 0.0, 0.0] + [0.0] * 24
+    second = list(base)
+    second[1] += 1.0 / 73000.0  # ~1 m of longitude at lat 49
+    for i, rec in enumerate((base, second)):
+        (d / f"{i:010d}.txt").write_text(" ".join(str(v) for v in rec))
+    out = tmp_path / "poses.txt"
+    rc = cli_main(["oxts-to-kitti", str(d), "-o", str(out)])
+    assert rc == 0
+    info = json.loads(capsys.readouterr().out)
+    assert info["poses"] == 2
+    from aicp_mapping_tpu.io.poses import read_kitti_poses
+    poses = read_kitti_poses(str(out))
+    assert poses.shape == (2, 4, 4)
+    np.testing.assert_allclose(poses[0], np.eye(4), atol=1e-6)
+    d01 = np.linalg.norm(poses[1][:3, 3])
+    assert 0.5 < d01 < 2.0
+
+
+def test_cli_accumulate(tmp_path, capsys):
+    from aicp_mapping_tpu.pipeline.sequence import SequenceRecorder
+    rng = np.random.default_rng(0)
+    rec = SequenceRecorder(str(tmp_path / "seq"))
+    for i in range(3):
+        pts = rng.uniform(1.0, 5.0, (500, 3)).astype(np.float32)
+        pose = np.eye(4, dtype=np.float32)
+        pose[0, 3] = i * 0.5
+        rec.record(i * 100000, pts, pose)
+    out = tmp_path / "acc.pcd"
+    rc = cli_main(["accumulate", str(tmp_path / "seq"), "-o", str(out)])
+    assert rc == 0
+    info = json.loads(capsys.readouterr().out)
+    assert info["scans"] == 3
+    assert info["points"] > 1000
+
+
+def test_cli_vtk_to_octree(tmp_path, capsys):
+    from aicp_mapping_tpu.io.vtk import write_vtk
+    rng = np.random.default_rng(1)
+    pts = rng.uniform(0, 2.0, (2000, 3)).astype(np.float32)
+    src = tmp_path / "in.vtk"
+    write_vtk(str(src), pts)
+    out = tmp_path / "cells.pcd"
+    rc = cli_main(["vtk-to-octree", str(src), str(out), "--resolution",
+                   "0.5"])
+    assert rc == 0
+    info = json.loads(capsys.readouterr().out)
+    # 2 m cube at 0.5 m cells -> at most 5^3 occupied, most filled
+    assert 30 <= info["occupied_cells"] <= 125
+    from aicp_mapping_tpu.io.pcd import read_pcd
+    cells, _ = read_pcd(str(out))
+    assert len(cells) == info["occupied_cells"]
