@@ -135,3 +135,39 @@ def overlap_matrix(frames) -> np.ndarray:
     for f in frames:
         M[index[f.reference_id], index[f.reading_id]] = f.octree_overlap
     return M
+
+
+def risk_vs_degeneracy(risks: np.ndarray, degeneracies: np.ndarray,
+                       t_errors: np.ndarray,
+                       error_thresh: float = 0.02) -> dict:
+    """Compare the two failure predictors against actual outcome — the
+    "Alignment Risk vs. Degeneracy" notebook analog (python/*.ipynb).
+
+    Labels each pair as failed (t_error > error_thresh) and reports, per
+    predictor, the AUC of predicting failure plus the Pearson correlation
+    between the predictors. Degeneracy predicts failure when LOW, so its
+    score is negated for the AUC.
+    """
+    risks = np.asarray(risks, np.float64)
+    deg = np.asarray(degeneracies, np.float64)
+    terr = np.asarray(t_errors, np.float64)
+    ok = np.isfinite(risks) & np.isfinite(deg) & np.isfinite(terr)
+    risks, deg, terr = risks[ok], deg[ok], terr[ok]
+    labels = (terr > error_thresh).astype(np.int32)
+    out = {"n": int(len(labels)), "n_failed": int(labels.sum())}
+    if labels.sum() in (0, len(labels)):
+        out["risk_auc"] = out["degeneracy_auc"] = float("nan")
+    else:
+        def norm01(x):  # roc_curve thresholds span [0, 1]
+            lo, hi = x.min(), x.max()
+            return (x - lo) / (hi - lo) if hi > lo else np.zeros_like(x)
+
+        auc_r, _, _ = roc_curve(norm01(risks), labels)
+        auc_d, _, _ = roc_curve(norm01(-deg), labels)
+        out["risk_auc"] = auc_r
+        out["degeneracy_auc"] = auc_d
+    if len(labels) > 1 and risks.std() > 0 and deg.std() > 0:
+        out["correlation"] = float(np.corrcoef(risks, deg)[0, 1])
+    else:
+        out["correlation"] = float("nan")
+    return out

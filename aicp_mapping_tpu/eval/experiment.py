@@ -27,6 +27,8 @@ class PairResult:
     inlier_rms: float
     correction: np.ndarray        # (4, 4)
     t_error: float = float("nan")  # vs ground truth, when available
+    degeneracy: float = float("nan")  # ICP-Hessian predictors
+    icn: float = float("nan")         # (filteringUtils.cpp:580-617)
 
 
 def run_pairwise(clouds: Sequence[np.ndarray],
@@ -49,7 +51,8 @@ def run_pairwise(clouds: Sequence[np.ndarray],
     from ..overlap.alignability import alignability_filter
     from ..overlap.fov import fov_overlap
     from ..overlap.voxel_overlap import compute_overlap
-    from ..registration.icp import clamp_trim_ratio, point_to_plane_icp
+    from ..registration.icp import (clamp_trim_ratio, degeneracy_predictions,
+                                    point_to_plane_icp)
 
     cs = [Cloud.from_numpy(np.asarray(c, np.float32), capacity=capacity)
           for c in clouds]
@@ -80,6 +83,7 @@ def run_pairwise(clouds: Sequence[np.ndarray],
                 se3.identity(),
                 clamp_trim_ratio(jnp.float32(ov_pct), trim_floor, 0.70))
             T = np.asarray(res.T)
+            deg, icn = degeneracy_predictions(res.hessian)
             results.append(PairResult(
                 reference_id=i, reading_id=j,
                 octree_overlap=ov_pct, fov_overlap=float(fov),
@@ -87,7 +91,8 @@ def run_pairwise(clouds: Sequence[np.ndarray],
                 n_iterations=int(res.n_iterations),
                 inlier_rms=float(res.inlier_rms), correction=T,
                 t_error=float(np.linalg.norm(T[:3, 3]))
-                if poses is not None else float("nan")))
+                if poses is not None else float("nan"),
+                degeneracy=float(deg), icn=float(icn)))
     return results
 
 

@@ -161,6 +161,112 @@ def nn_argmin_pallas(queries, qmask, refs, rmask, tm: int = 512,
     return dist, idx
 
 
+def _nn_payload_kernel(qt_ref, rt_ref, rsq_ref, pay_ref, dist_ref, pout_ref,
+                       *, tn: int):
+    """1-NN + payload selection in one pass: alongside the running argmin,
+    carry the argmin's payload row (e.g. ref point + normal), selected
+    in-VMEM via a one-hot matmul — no post-hoc HBM gather.
+    """
+    n = rt_ref.shape[1]
+    p_dim = pay_ref.shape[0]
+    qt = qt_ref[:]                      # (3, TM)
+    q2 = jnp.sum(qt * qt, axis=0)       # (TM,)
+    tm = qt.shape[1]
+
+    def step(c, carry):
+        best_d, best_p = carry
+        r = rt_ref[:, pl.ds(c * tn, tn)]          # (3, TN)
+        r2 = rsq_ref[0, pl.ds(c * tn, tn)]        # (TN,)
+        cross = jax.lax.dot_general(
+            qt, r, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        d = q2[:, None] - 2.0 * cross + r2[None, :]
+        tile_min = jnp.min(d, axis=1)                       # (TM,)
+        arg = jnp.argmin(d, axis=1).astype(jnp.int32)       # (TM,)
+        col = jax.lax.broadcasted_iota(jnp.int32, (tm, tn), 1)
+        onehot = (col == arg[:, None]).astype(jnp.float32)  # (TM, TN)
+        pay = pay_ref[:, pl.ds(c * tn, tn)]                 # (P, TN)
+        # (P, TM) payload of each row's tile-argmin, on the MXU. One-hot
+        # rows make this an exact selection even at HIGHEST precision.
+        sel = jax.lax.dot_general(
+            pay, onehot, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        take = tile_min < best_d
+        return (
+            jnp.where(take, tile_min, best_d),
+            jnp.where(take[None, :], sel, best_p),
+        )
+
+    init = (jnp.full((tm,), _BIG_F, jnp.float32),
+            jnp.zeros((p_dim, tm), jnp.float32))
+    best_d, best_p = jax.lax.fori_loop(0, n // tn, step, init)
+    dist_ref[0, :] = jnp.maximum(best_d, 0.0)
+    pout_ref[:, :] = best_p
+
+
+@partial(jax.jit, static_argnames=("tm", "tn", "interpret"))
+def nn_payload_pallas(queries, qmask, refs, rmask, payload, tm: int = 512,
+                      tn: int = 1024, interpret: bool = False):
+    """1-NN with fused payload pickup.
+
+    payload: (N, P) per-reference row (P must be a multiple of 8 for clean
+    sublane tiling; pad with zeros). Returns (dist2 (M,), payload (M, P)) —
+    the payload row of each query's nearest reference. Replaces the
+    `refs[idx]` / `normals[idx]` HBM gathers in the ICP inner loop.
+    """
+    M, N = queries.shape[0], refs.shape[0]
+    P = payload.shape[1]
+    assert M % tm == 0 and N % tn == 0 and P % 8 == 0, (M, N, P, tm, tn)
+
+    qt = queries.T.astype(jnp.float32)          # (3, M)
+    rt = refs.T.astype(jnp.float32)             # (3, N)
+    rsq = jnp.sum(rt * rt, axis=0)[None, :]     # (1, N)
+    rsq = jnp.where(rmask[None, :], rsq, _BIG)
+    pay = payload.T.astype(jnp.float32)         # (P, N)
+
+    dist, pout = pl.pallas_call(
+        partial(_nn_payload_kernel, tn=tn),
+        grid=(M // tm,),
+        in_specs=[
+            pl.BlockSpec((3, tm), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, N), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, N), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((P, N), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, tm), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((P, tm), lambda i: (0, i), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((1, M), jnp.float32),
+            jax.ShapeDtypeStruct((P, M), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * M * N * (3 + P) + 4 * M * N,
+            bytes_accessed=4 * (3 * M + (3 + P) * N + (1 + P) * M),
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(qt, rt, rsq, pay)
+
+    dist = dist.reshape(M)
+    dist = jnp.where(qmask, dist, _BIG)
+    pout = jnp.where(qmask[None, :], pout, 0.0)
+    return dist, pout.T
+
+
+def nn_payload_xla(queries, qmask, refs, rmask, payload, block: int = 1024):
+    """XLA fallback for nn_payload_pallas (gather after argmin)."""
+    dist, idx = nn_argmin_xla(queries, qmask, refs, rmask, block=block)
+    pout = payload[idx]
+    pout = jnp.where(qmask[:, None], pout, 0.0)
+    return dist, pout
+
+
 def nn_argmin(queries, qmask, refs, rmask):
     """1-NN: returns (dist2 (M,), index (M,) into refs). Dispatches to the
     Pallas kernel on TPU when shapes are tile-aligned, else XLA fallback."""

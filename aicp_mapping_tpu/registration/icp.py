@@ -122,13 +122,37 @@ def point_to_plane_icp(
         ref_index = banded_prepare(reference_points, reference_mask, origin,
                                    jnp.float32(config.nn_cell_size))
 
+    # Fused NN + payload pickup: when the Pallas path is available, the
+    # kernel returns the matched reference point (and normal) directly —
+    # the (M,) HBM gathers `refs[idx]` / `normals[idx]` are the slowest
+    # per-iteration ops otherwise (~130 M elem/s on TPU).
+    use_pallas = config.use_pallas
+    if use_pallas is None:
+        use_pallas = (jax.default_backend() == "tpu"
+                      and M % 512 == 0 and N % 1024 == 0)
+    use_payload = use_pallas and not use_banded
+    if use_payload:
+        from ..ops.knn import nn_payload_pallas
+
+        if config.error_metric == "point_to_plane":
+            payload = jnp.concatenate(
+                [reference_points, reference_normals,
+                 jnp.zeros((N, 2), jnp.float32)], axis=1)      # (N, 8)
+        else:
+            payload = jnp.concatenate(
+                [reference_points, jnp.zeros((N, 5), jnp.float32)], axis=1)
+
     def iteration(T):
         p = se3.transform_points(T, reading_points)
+        pout = None
         if use_banded:
             rt, rsq, rcodes_s, rperm = ref_index
             dist2, idx = nn_argmin_banded_prepared(
                 p, reading_mask, rt, rsq, rcodes_s, rperm, origin,
                 jnp.float32(config.nn_cell_size), band=config.nn_band)
+        elif use_payload:
+            dist2, pout = nn_payload_pallas(p, reading_mask, reference_points,
+                                            reference_mask, payload)
         else:
             dist2, idx = _nn(p, reading_mask, reference_points,
                              reference_mask, config.use_pallas)
@@ -138,9 +162,12 @@ def point_to_plane_icp(
             thresh = jnp.minimum(thresh,
                                  jnp.float32(config.max_match_dist ** 2))
         w = m_f * (dist2 <= thresh) * (dist2 < _BIG)
-        q = reference_points[idx]
+        if pout is not None:
+            q = pout[:, :3]
+        else:
+            q = reference_points[idx]
         if config.error_metric == "point_to_plane":
-            n = reference_normals[idx]
+            n = pout[:, 3:6] if pout is not None else reference_normals[idx]
             r = jnp.sum(n * (p - q), axis=-1)          # point-to-plane residual
             J = jnp.concatenate([n, jnp.cross(p, n)], axis=-1)  # (M, 6), twist [v, w]
             Jw = J * w[:, None]
@@ -162,11 +189,11 @@ def point_to_plane_icp(
         return delta, A, dist2, w, r
 
     def cond(state):
-        T, it, hist_t, hist_r, done = state
+        T, it, hist_t, hist_r, done, _stats = state
         return jnp.logical_and(it < config.max_iterations, jnp.logical_not(done))
 
     def body(state):
-        T, it, hist_t, hist_r, done = state
+        T, it, hist_t, hist_r, done, _stats = state
         delta, A, dist2, w, r = iteration(T)
         T_new = se3.se3_exp(delta) @ T
         dt = jnp.linalg.norm(delta[:3])
@@ -181,19 +208,29 @@ def point_to_plane_icp(
             jnp.mean(hist_r) < config.min_diff_rot,
         )
         done = jnp.logical_and(enough, conv)
-        return (T_new, it + 1, hist_t, hist_r, done)
+        # Carry this iteration's match/inlier stats: reporting them at the
+        # last solved step (the reference reports its minimizer's final-
+        # iteration state too) saves a full extra NN pass after the loop.
+        return (T_new, it + 1, hist_t, hist_r, done, (A, dist2, w, r))
 
+    M = reading_points.shape[0]
+    init_stats = (
+        jnp.zeros((6, 6), jnp.float32),
+        jnp.full((M,), _BIG, jnp.float32),
+        jnp.zeros((M,), jnp.float32),
+        jnp.zeros((M,), jnp.float32),
+    )
     init_state = (
         init_T.astype(jnp.float32),
         jnp.int32(0),
         jnp.full((S,), _BIG, jnp.float32),
         jnp.full((S,), _BIG, jnp.float32),
         jnp.bool_(False),
+        init_stats,
     )
-    T, n_it, _, _, _ = jax.lax.while_loop(cond, body, init_state)
+    T, n_it, _, _, _, (A, dist2, w, r) = jax.lax.while_loop(
+        cond, body, init_state)
 
-    # Final statistics at the converged transform.
-    delta, A, dist2, w, r = iteration(T)
     wsum = jnp.maximum(jnp.sum(w), 1.0)
     inlier_rms = jnp.sqrt(jnp.sum(w * r * r) / wsum)
     return ICPResult(

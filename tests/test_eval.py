@@ -131,3 +131,31 @@ def test_fault_injection():
     app.inject_correction(fake)
     out = app.correct_pose(np.eye(4, dtype=np.float32))
     np.testing.assert_allclose(out[:3, 3], [0.5, 0, 0], atol=1e-6)
+
+
+def test_risk_vs_degeneracy():
+    from aicp_mapping_tpu.eval.analysis import risk_vs_degeneracy
+    rng = np.random.default_rng(0)
+    n = 200
+    terr = rng.uniform(0, 0.06, n)
+    failed = terr > 0.02
+    # risk correlates with failure; degeneracy anti-correlates
+    risks = np.clip(failed * 0.7 + rng.normal(0, 0.15, n) + 0.15, 0, 1)
+    deg = np.clip((~failed) * 40 + rng.normal(0, 10, n) + 5, 0, 100)
+    out = risk_vs_degeneracy(risks, deg, terr)
+    assert out["n"] == n
+    assert out["risk_auc"] > 0.8
+    assert out["degeneracy_auc"] > 0.8
+    assert out["correlation"] < 0
+
+
+def test_pairwise_reports_degeneracy():
+    from aicp_mapping_tpu.eval.experiment import run_pairwise
+    from aicp_mapping_tpu.tools.synthetic import room_cloud
+    pts = room_cloud(n=2000, seed=0, noise=0.01)
+    clouds = [pts, pts + np.array([0.2, -0.1, 0.0], np.float32)]
+    res = run_pairwise(clouds, capacity=2048)
+    assert len(res) == 2
+    for r in res:
+        assert np.isfinite(r.degeneracy) and 0 <= r.degeneracy <= 100
+        assert np.isfinite(r.icn) and 0 <= r.icn <= 1

@@ -177,3 +177,30 @@ def test_masked_quantile_hist_matches_exact():
         # (approx >= exact so the trim keeps at least the requested fraction)
         assert approx >= exact - 1e-6, (q, exact, approx)
         assert approx - exact < float(v.max()) / (128 * 128) + 1e-4, (q, exact, approx)
+
+
+def test_nn_payload_matches_argmin():
+    from aicp_mapping_tpu.ops.knn import (nn_argmin_xla, nn_payload_pallas,
+                                          nn_payload_xla)
+    rng = np.random.default_rng(3)
+    M, N = 512, 1024
+    q = jnp.asarray(rng.uniform(-10, 10, (M, 3)).astype(np.float32))
+    r = jnp.asarray(rng.uniform(-10, 10, (N, 3)).astype(np.float32))
+    qm = jnp.asarray(rng.uniform(size=M) > 0.1)
+    rm = jnp.asarray(rng.uniform(size=N) > 0.1)
+    payload = jnp.concatenate(
+        [r, jnp.asarray(rng.normal(size=(N, 5)).astype(np.float32))], axis=1)
+
+    d_ref, idx = nn_argmin_xla(q, qm, r, rm)
+    d_x, p_x = nn_payload_xla(q, qm, r, rm, payload)
+    np.testing.assert_allclose(np.asarray(d_x), np.asarray(d_ref), rtol=1e-6)
+    expect = np.where(np.asarray(qm)[:, None],
+                      np.asarray(payload)[np.asarray(idx)], 0.0)
+    np.testing.assert_allclose(np.asarray(p_x), expect, rtol=1e-6)
+
+    # pallas kernel in interpret mode (functional check; Mosaic-lowering
+    # constraints are exercised on the real chip by the verify drive)
+    d_p, p_p = nn_payload_pallas(q, qm, r, rm, payload, interpret=True)
+    np.testing.assert_allclose(np.asarray(d_p), np.asarray(d_ref),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(p_p), expect, rtol=1e-5, atol=1e-5)
