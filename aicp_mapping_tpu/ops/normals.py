@@ -15,6 +15,8 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 from .knn import knn
 
@@ -105,7 +107,79 @@ def normals_from_neighbors(points: jax.Array, mask: jax.Array,
     return normal, curvature, eigvals
 
 
-@partial(jax.jit, static_argnames=("block",))
+def _radius_moments_kernel(qt_ref, rt_ref, rsqm_ref, f_ref, out_ref,
+                           *, tn: int, rad2: float):
+    """Fused radius test + moment accumulation: per query tile, stream
+    reference chunks, form the 0/1 radius weight tile in VMEM and
+    accumulate F @ W^T on the MXU — the (B, N) weight matrix never touches
+    HBM (the XLA formulation materializes it twice: ~2.5 GB of traffic at
+    16k points)."""
+    qt = qt_ref[:]                           # (3, TM)
+    q2 = jnp.sum(qt * qt, axis=0)            # (TM,)
+    n = rt_ref.shape[1]
+    p_dim = f_ref.shape[0]
+    tm = qt.shape[1]
+
+    def step(c, acc):
+        r = rt_ref[:, pl.ds(c * tn, tn)]     # (3, TN)
+        r2 = rsqm_ref[0, pl.ds(c * tn, tn)]  # (TN,) +BIG on invalid
+        cross = jax.lax.dot_general(
+            qt, r, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,  # f32-exact radius test
+        )
+        d = q2[:, None] - 2.0 * cross + r2[None, :]
+        w = (d <= rad2).astype(jnp.float32)       # (TM, TN)
+        f = f_ref[:, pl.ds(c * tn, tn)]           # (P, TN)
+        return acc + jax.lax.dot_general(
+            f, w, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,  # x^2-scale moments
+        )
+
+    init = jnp.zeros((p_dim, tm), jnp.float32)
+    out_ref[:, :] = jax.lax.fori_loop(0, n // tn, step, init)
+
+
+@partial(jax.jit, static_argnames=("radius", "tm", "tn", "interpret"))
+def _radius_moments_pallas(points, mask, radius, tm: int = 512,
+                           tn: int = 1024, interpret: bool = False):
+    """(N, 10) neighborhood moments [Sx Sy Sz Sxx Syy Szz Sxy Sxz Syz cnt]
+    via the fused Pallas kernel. N must be a multiple of lcm(tm, tn)."""
+    N = points.shape[0]
+    m_f = mask.astype(jnp.float32)
+    x, y, z = points[:, 0], points[:, 1], points[:, 2]
+    F = jnp.stack([x, y, z, x * x, y * y, z * z, x * y, x * z, y * z,
+                   jnp.ones_like(x)], axis=0) * m_f[None, :]   # (10, N)
+    F = jnp.concatenate([F, jnp.zeros((6, N), jnp.float32)])   # pad to 16
+    qt = points.T.astype(jnp.float32)
+    rsq = jnp.sum(qt * qt, axis=0)[None, :]
+    rsq = jnp.where(mask[None, :], rsq, jnp.float32(3.4e38))
+
+    out = pl.pallas_call(
+        partial(_radius_moments_kernel, tn=tn,
+                rad2=float(radius) * float(radius)),
+        grid=(N // tm,),
+        in_specs=[
+            pl.BlockSpec((3, tm), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, N), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, N), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((16, N), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((16, tm), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((16, N), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * N * N * (3 + 16) + 4 * N * N,
+            bytes_accessed=4 * (3 * N + 3 * N + N + 16 * N + 16 * N),
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(qt, qt, rsq, F)
+    return out[:10].T                                          # (N, 10)
+
+
+@partial(jax.jit, static_argnames=("radius", "block"))
 def radius_normals(points: jax.Array, mask: jax.Array, radius: float,
                    viewpoint: jax.Array | None = None, block: int = 2048):
     """Normals + curvature from fixed-radius neighborhoods, gather-free.
@@ -120,33 +194,37 @@ def radius_normals(points: jax.Array, mask: jax.Array, radius: float,
 
     Returns (normals (N,3), curvature (N,), n_neighbors (N,)).
     """
-    from .knn import _num_blocks
+    from .knn import _num_blocks, _on_tpu
 
     N = points.shape[0]
     dtype = points.dtype
-    x, y, z = points[:, 0], points[:, 1], points[:, 2]
-    m_f = mask.astype(dtype)
-    F = jnp.stack([x, y, z, x * x, y * y, z * z, x * y, x * z, y * z,
-                   jnp.ones_like(x)], axis=1) * m_f[:, None]     # (N, 10)
-    r2 = jnp.sum(points * points, axis=-1)
-    r2m = jnp.where(mask, r2, jnp.float32(3.4e38))
-    rad2 = jnp.float32(radius * radius)
 
-    nblocks = _num_blocks(N, block)
-    qb = points.reshape(nblocks, -1, 3)
+    if _on_tpu() and N % 1024 == 0 and N % 512 == 0:
+        M = _radius_moments_pallas(points, mask, radius)
+    else:
+        x, y, z = points[:, 0], points[:, 1], points[:, 2]
+        m_f = mask.astype(dtype)
+        F = jnp.stack([x, y, z, x * x, y * y, z * z, x * y, x * z, y * z,
+                       jnp.ones_like(x)], axis=1) * m_f[:, None]  # (N, 10)
+        r2 = jnp.sum(points * points, axis=-1)
+        r2m = jnp.where(mask, r2, jnp.float32(3.4e38))
+        rad2 = jnp.float32(radius * radius)
 
-    def body(q):
-        # HIGHEST: the radius test needs f32-exact distances (bf16 TPU
-        # default is ~14 m^2 off at 60 m coordinates), and the moment
-        # accumulation carries x^2-scale values
-        d = (jnp.sum(q * q, axis=-1)[:, None]
-             - 2.0 * jnp.matmul(q, points.T,
-                                precision=jax.lax.Precision.HIGHEST)
-             + r2m[None, :])
-        w = (d <= rad2).astype(dtype)                            # (B, N)
-        return jnp.matmul(w, F, precision=jax.lax.Precision.HIGHEST)
+        nblocks = _num_blocks(N, block)
+        qb = points.reshape(nblocks, -1, 3)
 
-    M = jax.lax.map(body, qb).reshape(N, 10)
+        def body(q):
+            # HIGHEST: the radius test needs f32-exact distances (bf16 TPU
+            # default is ~14 m^2 off at 60 m coordinates), and the moment
+            # accumulation carries x^2-scale values
+            d = (jnp.sum(q * q, axis=-1)[:, None]
+                 - 2.0 * jnp.matmul(q, points.T,
+                                    precision=jax.lax.Precision.HIGHEST)
+                 + r2m[None, :])
+            w = (d <= rad2).astype(dtype)                        # (B, N)
+            return jnp.matmul(w, F, precision=jax.lax.Precision.HIGHEST)
+
+        M = jax.lax.map(body, qb).reshape(N, 10)
     cnt = jnp.maximum(M[:, 9], 1.0)
     mean = M[:, 0:3] / cnt[:, None]
     exx = M[:, 3:6] / cnt[:, None]                               # xx yy zz

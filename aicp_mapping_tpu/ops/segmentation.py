@@ -180,7 +180,7 @@ def compact_labels(labels: jax.Array, mask: jax.Array, max_clusters: int):
 
 
 @partial(jax.jit, static_argnames=("normal_k", "graph_k", "out_capacity",
-                                   "method"))
+                                   "method", "normal_radius"))
 def plane_segmentation_filter(
     points: jax.Array,
     mask: jax.Array,

@@ -110,7 +110,16 @@ def voxel_set_overlap(points_a: jax.Array, mask_a: jax.Array,
 
     Returns (n_common, n_a, n_b): counts of common / per-cloud occupied
     voxels. Replaces the octomap leaf-key intersection of
-    octrees_overlap.cpp:113-151 with a sorted-set intersection.
+    octrees_overlap.cpp:113-151 with ONE combined sort: keys from both
+    clouds are tagged in the lsb (cloud a = 0, cloud b = 1; voxel keys use
+    30 bits so the shift cannot overflow int32) and sorted together. In the
+    sorted array a voxel's entries form one run with all a-tags before all
+    b-tags, so
+      occupied-by-a  = runs whose first entry is a-tagged,
+      occupied-by-b  = runs whose last entry is b-tagged,
+      co-occupied    = a->b tag transitions inside a run
+    — three elementwise reductions instead of per-cloud dedup sorts + a
+    binary-search intersection (~4x fewer sort passes).
     """
     big = jnp.float32(3.4e38)
     mins = jnp.minimum(
@@ -120,23 +129,25 @@ def voxel_set_overlap(points_a: jax.Array, mask_a: jax.Array,
     keys_a = voxel_keys(points_a, mask_a, voxel_size, origin=mins)
     keys_b = voxel_keys(points_b, mask_b, voxel_size, origin=mins)
 
-    def unique_sorted(keys):
-        skeys, _ = _sorted_keys_with_index(keys)
-        valid = skeys != _INVALID_KEY
-        prev = jnp.concatenate([jnp.full((1,), -1, dtype=skeys.dtype), skeys[:-1]])
-        is_start = (skeys != prev) & valid
-        uniq = jnp.where(is_start, skeys, _INVALID_KEY)
-        uniq, _ = _sorted_keys_with_index(uniq)  # compact uniques to front
-        return uniq, jnp.sum(is_start.astype(jnp.int32))
+    tagged_a = jnp.where(keys_a == _INVALID_KEY, _INVALID_KEY, keys_a * 2)
+    tagged_b = jnp.where(keys_b == _INVALID_KEY, _INVALID_KEY, keys_b * 2 + 1)
+    combined = jax.lax.sort(jnp.concatenate([tagged_a, tagged_b]))
 
-    ua, na = unique_sorted(keys_a)
-    ub, nb = unique_sorted(keys_b)
-    # Membership of ua in sorted ub via binary search.
-    pos = jnp.searchsorted(ub, ua)
-    pos = jnp.clip(pos, 0, ub.shape[0] - 1)
-    hit = (ub[pos] == ua) & (ua != _INVALID_KEY)
-    n_common = jnp.sum(hit.astype(jnp.int32))
-    return n_common, na, nb
+    valid = combined != _INVALID_KEY
+    key = combined >> 1
+    tag = combined & 1
+    prev_key = jnp.concatenate([jnp.full((1,), -1, jnp.int32), key[:-1]])
+    next_key = jnp.concatenate([key[1:], jnp.full((1,), -2, jnp.int32)])
+    is_start = (key != prev_key) & valid
+    is_end = (key != next_key) & valid
+    next_tag = jnp.concatenate([tag[1:], jnp.zeros((1,), jnp.int32)])
+    next_valid = jnp.concatenate([valid[1:], jnp.zeros((1,), bool)])
+
+    n_a = jnp.sum((is_start & (tag == 0)).astype(jnp.int32))
+    n_b = jnp.sum((is_end & (tag == 1)).astype(jnp.int32))
+    n_common = jnp.sum(((key == next_key) & valid & next_valid
+                        & (tag == 0) & (next_tag == 1)).astype(jnp.int32))
+    return n_common, n_a, n_b
 
 
 @partial(jax.jit, static_argnames=("capacity",))

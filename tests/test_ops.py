@@ -204,3 +204,22 @@ def test_nn_payload_matches_argmin():
     np.testing.assert_allclose(np.asarray(d_p), np.asarray(d_ref),
                                rtol=1e-5, atol=1e-5)
     np.testing.assert_allclose(np.asarray(p_p), expect, rtol=1e-5, atol=1e-5)
+
+
+def test_radius_moments_pallas_matches_xla():
+    from aicp_mapping_tpu.ops.normals import _radius_moments_pallas
+    rng = np.random.default_rng(5)
+    N = 1024
+    pts = jnp.asarray(rng.uniform(-5, 5, (N, 3)).astype(np.float32))
+    mask = jnp.asarray(rng.uniform(size=N) > 0.1)
+    radius = 0.8
+    M = np.asarray(_radius_moments_pallas(pts, mask, radius, interpret=True))
+    # reference: dense numpy
+    p = np.asarray(pts)
+    m = np.asarray(mask)
+    d2 = ((p[:, None, :] - p[None, :, :]) ** 2).sum(-1)
+    w = (d2 <= radius * radius) & m[None, :]
+    F = np.concatenate([p, p**2, (p[:, [0, 0, 1]] * p[:, [1, 2, 2]]),
+                        np.ones((N, 1), np.float32)], axis=1) * m[:, None]
+    expect = w.astype(np.float32) @ F
+    np.testing.assert_allclose(M, expect, rtol=1e-4, atol=1e-3)
