@@ -164,6 +164,114 @@ def nn_argmin_banded_prepared(queries, qmask, rt, rsq, rcodes_s, rperm,
     return dist, idx
 
 
+def _banded_payload_kernel(start_ref, qt_ref, rt_ref, rsq_ref, pay_ref,
+                           dist_ref, pout_ref, *, tn: int):
+    """Banded 1-NN with fused payload pickup: the output blocks are
+    revisited across the `band` grid steps, carrying the running best
+    distance and the best reference's payload row (selected in-VMEM by a
+    one-hot matmul — see ops.knn._nn_payload_kernel)."""
+    j = pl.program_id(1)
+    tm = qt_ref.shape[1]
+    qt = qt_ref[:]
+    q2 = jnp.sum(qt * qt, axis=0)
+    r = rt_ref[:]
+    r2 = rsq_ref[0, :]
+    cross = jax.lax.dot_general(
+        qt, r, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    d = q2[:, None] - 2.0 * cross + r2[None, :]
+    tile_min = jnp.min(d, axis=1)
+    arg = jnp.argmin(d, axis=1).astype(jnp.int32)
+    col = jax.lax.broadcasted_iota(jnp.int32, (tm, tn), 1)
+    onehot = (col == arg[:, None]).astype(jnp.float32)
+    sel = jax.lax.dot_general(
+        pay_ref[:], onehot, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+
+    @pl.when(j == 0)
+    def _init():
+        dist_ref[0, :] = jnp.full((tm,), _BIG_F, jnp.float32)
+        pout_ref[:, :] = jnp.zeros_like(pout_ref)
+
+    best = dist_ref[0, :]
+    take = tile_min < best
+    dist_ref[0, :] = jnp.where(take, jnp.maximum(tile_min, 0.0), best)
+    pout_ref[:, :] = jnp.where(take[None, :], sel, pout_ref[:, :])
+
+
+@partial(jax.jit, static_argnames=("band", "tm", "tn", "interpret"))
+def nn_payload_banded_sorted(qs, rt, rsq, pay_t, starts, band: int = 8,
+                             tm: int = 512, tn: int = 1024,
+                             interpret: bool = False):
+    """Banded 1-NN + payload over PRE-SORTED queries.
+
+    qs: (M, 3) queries already in Morton order; starts: (M // tm,) int32
+    window-start tile indices (from `banded_window_starts`); rt/rsq from
+    `banded_prepare`; pay_t: (P, N) payload columns in sorted-ref order.
+    Returns (dist2 (M,), payload (M, P)) in the SORTED query order — all
+    downstream ICP reductions are order-free, so callers unsort only once.
+    """
+    M, N = qs.shape[0], rt.shape[1]
+    P = pay_t.shape[0]
+    assert M % tm == 0 and N % tn == 0, (M, N, tm, tn)
+    qt = qs.T.astype(jnp.float32)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(M // tm, band),
+        in_specs=[
+            pl.BlockSpec((3, tm), lambda i, j, s: (0, i)),
+            pl.BlockSpec((3, tn), lambda i, j, s: (0, s[i] + j)),
+            pl.BlockSpec((1, tn), lambda i, j, s: (0, s[i] + j)),
+            pl.BlockSpec((P, tn), lambda i, j, s: (0, s[i] + j)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, tm), lambda i, j, s: (0, i)),
+            pl.BlockSpec((P, tm), lambda i, j, s: (0, i)),
+        ],
+    )
+    dist_s, pout = pl.pallas_call(
+        partial(_banded_payload_kernel, tn=tn),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((1, M), jnp.float32),
+            jax.ShapeDtypeStruct((P, M), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * M * band * tn * (3 + P) + 4 * M * band * tn,
+            bytes_accessed=4 * (3 * M + (3 + P) * N + (1 + P) * M),
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(starts, qt, rt, rsq, pay_t)
+    return dist_s.reshape(M), pout.T
+
+
+def banded_window_starts(qcodes_sorted_layout, rcodes_s, n_rblocks: int,
+                         band: int, tm: int, tn: int):
+    """Per-query-tile window start (in ref tile units) from Morton codes.
+
+    qcodes_sorted_layout: (M,) codes of the queries in their current (tile)
+    order — tiles need only be APPROXIMATELY sorted (e.g. sorted once at
+    ICP start and drifting slightly as the transform updates), since each
+    tile's window is re-bracketed from its actual min/max code here.
+    """
+    M = qcodes_sorted_layout.shape[0]
+    tiles = qcodes_sorted_layout.reshape(M // tm, tm)
+    tile_lo = jnp.min(tiles, axis=1)
+    tile_hi = jnp.max(jnp.where(tiles == jnp.int32(2**31 - 1), -1, tiles),
+                      axis=1)
+    tile_hi = jnp.maximum(tile_hi, tile_lo)
+    lo_pos = jnp.searchsorted(rcodes_s, tile_lo, side="left")
+    hi_pos = jnp.searchsorted(rcodes_s, tile_hi, side="right")
+    center = (lo_pos + hi_pos) // (2 * tn)
+    return jnp.clip(center - band // 2, 0, n_rblocks - band).astype(jnp.int32)
+
+
 @partial(jax.jit, static_argnames=("band", "tm", "tn", "cell_size",
                                    "interpret"))
 def nn_argmin_banded(queries, qmask, refs, rmask, band: int = 8,

@@ -27,7 +27,7 @@ import jax
 import jax.numpy as jnp
 
 from ..geometry import se3
-from ..ops.knn import nn_argmin_pallas, nn_argmin_xla
+from ..ops.knn import nn_argmin_pallas, nn_argmin_xla, nn_payload_pallas
 from ..ops.quantile import masked_quantile_hist
 
 _BIG = jnp.float32(3.4e38)
@@ -55,6 +55,10 @@ class ICPConfig:
     # references with >99% exact-NN recall; "auto" picks banded on TPU when
     # the reference is large and shapes are tile-aligned.
     nn_mode: str = "auto"
+    # band=8 is the validated operating point on the axon TPU runtime:
+    # non-default bands compile and run standalone but have shown runtime
+    # INVALID_ARGUMENT faults when the banded kernel executes inside the
+    # ICP while_loop with queued dispatches — keep 8 unless revalidated.
     nn_band: int = 8
     nn_cell_size: float = 4.0
     # Fixed trim ratio for non-auto-tuned chains (TrimmedDistOutlierFilter
@@ -105,7 +109,6 @@ def point_to_plane_icp(
     `registerClouds` output `final_transform`).
     """
     S = config.smooth_length
-    m_f = reading_mask.astype(jnp.float32)
 
     M, N = reading_points.shape[0], reference_points.shape[0]
     use_banded = (
@@ -113,51 +116,71 @@ def point_to_plane_icp(
         or (config.nn_mode == "auto" and jax.default_backend() == "tpu"
             and N >= 32768 and M % 512 == 0 and N % 1024 == 0)
     )
-    if use_banded:
-        from ..ops.banded_nn import banded_prepare, nn_argmin_banded_prepared
 
-        big = jnp.float32(1e30)
-        origin = jnp.min(jnp.where(reference_mask[:, None],
-                                   reference_points, big), axis=0)
-        ref_index = banded_prepare(reference_points, reference_mask, origin,
-                                   jnp.float32(config.nn_cell_size))
-
-    # Fused NN + payload pickup: when the Pallas path is available, the
-    # kernel returns the matched reference point (and normal) directly —
-    # the (M,) HBM gathers `refs[idx]` / `normals[idx]` are the slowest
+    # Reference payload: the NN kernels return the matched reference point
+    # (and normal) directly via an in-VMEM one-hot select — the
+    # `refs[idx]` / `normals[idx]` HBM gathers are the slowest
     # per-iteration ops otherwise (~130 M elem/s on TPU).
+    if config.error_metric == "point_to_plane":
+        payload = jnp.concatenate(
+            [reference_points, reference_normals,
+             jnp.zeros((N, 2), jnp.float32)], axis=1)          # (N, 8)
+    else:
+        payload = jnp.concatenate(
+            [reference_points, jnp.zeros((N, 5), jnp.float32)], axis=1)
+
     use_pallas = config.use_pallas
     if use_pallas is None:
         use_pallas = (jax.default_backend() == "tpu"
                       and M % 512 == 0 and N % 1024 == 0)
     use_payload = use_pallas and not use_banded
-    if use_payload:
-        from ..ops.knn import nn_payload_pallas
 
-        if config.error_metric == "point_to_plane":
-            payload = jnp.concatenate(
-                [reference_points, reference_normals,
-                 jnp.zeros((N, 2), jnp.float32)], axis=1)      # (N, 8)
-        else:
-            payload = jnp.concatenate(
-                [reference_points, jnp.zeros((N, 5), jnp.float32)], axis=1)
+    if use_banded:
+        from ..ops.banded_nn import (banded_prepare, banded_window_starts,
+                                     morton_codes, nn_payload_banded_sorted)
+
+        big = jnp.float32(1e30)
+        origin = jnp.min(jnp.where(reference_mask[:, None],
+                                   reference_points, big), axis=0)
+        cell = jnp.float32(config.nn_cell_size)
+        rt, rsq, rcodes_s, rperm = banded_prepare(
+            reference_points, reference_mask, origin, cell)
+        pay_t = payload[rperm].T                               # (8, N)
+        # Sort the reading ONCE by its initial-transform Morton codes and
+        # run the whole ICP in sorted order: every loop reduction (trim
+        # histogram, 6x6 normal equations) is order-free, windows are
+        # re-bracketed from the live codes each iteration (tiles only need
+        # to stay approximately sorted as the transform refines), and the
+        # per-iteration query argsort of the naive formulation disappears.
+        p0 = se3.transform_points(init_T.astype(jnp.float32), reading_points)
+        qcodes0 = morton_codes(p0, reading_mask, origin, cell)
+        qperm = jnp.argsort(qcodes0)
+        inv_q = jnp.argsort(qperm)
+        work_points = reading_points[qperm]
+        work_mask = reading_mask[qperm]
+    else:
+        work_points = reading_points
+        work_mask = reading_mask
+    m_f = work_mask.astype(jnp.float32)
 
     def iteration(T):
-        p = se3.transform_points(T, reading_points)
+        p = se3.transform_points(T, work_points)
         pout = None
         if use_banded:
-            rt, rsq, rcodes_s, rperm = ref_index
-            dist2, idx = nn_argmin_banded_prepared(
-                p, reading_mask, rt, rsq, rcodes_s, rperm, origin,
-                jnp.float32(config.nn_cell_size), band=config.nn_band)
+            codes = morton_codes(p, work_mask, origin, cell)
+            starts = banded_window_starts(codes, rcodes_s, N // 1024,
+                                          config.nn_band, 512, 1024)
+            dist2, pout = nn_payload_banded_sorted(
+                p, rt, rsq, pay_t, starts, band=config.nn_band)
+            dist2 = jnp.where(work_mask, dist2, _BIG)
         elif use_payload:
-            dist2, pout = nn_payload_pallas(p, reading_mask, reference_points,
+            dist2, pout = nn_payload_pallas(p, work_mask, reference_points,
                                             reference_mask, payload)
         else:
-            dist2, idx = _nn(p, reading_mask, reference_points,
+            dist2, idx = _nn(p, work_mask, reference_points,
                              reference_mask, config.use_pallas)
         # histogram quantile: ~7x cheaper than sort in the per-iteration loop
-        thresh = masked_quantile_hist(dist2, reading_mask, trim_ratio)
+        thresh = masked_quantile_hist(dist2, work_mask, trim_ratio)
         if config.max_match_dist > 0.0:
             thresh = jnp.minimum(thresh,
                                  jnp.float32(config.max_match_dist ** 2))
@@ -233,6 +256,10 @@ def point_to_plane_icp(
 
     wsum = jnp.maximum(jnp.sum(w), 1.0)
     inlier_rms = jnp.sqrt(jnp.sum(w * r * r) / wsum)
+    if use_banded:
+        # per-point outputs back to the caller's reading order
+        dist2 = dist2[inv_q]
+        w = w[inv_q]
     return ICPResult(
         T=T,
         n_iterations=n_it,

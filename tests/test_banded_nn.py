@@ -85,3 +85,44 @@ def test_icp_banded_mode_matches_full():
         se3.identity(), jnp.float32(0.7), ICPConfig(nn_mode="full"))
     err = se3.compose(res_full.T, T)
     assert float(jnp.linalg.norm(se3.translation(err))) < 0.02
+
+
+def test_banded_payload_sorted_matches_exact():
+    """nn_payload_banded_sorted with full coverage == exact NN + gather
+    (interpret mode)."""
+    from aicp_mapping_tpu.ops.banded_nn import (banded_prepare,
+                                                banded_window_starts,
+                                                nn_payload_banded_sorted)
+    from aicp_mapping_tpu.ops.knn import nn_argmin_xla
+
+    rng = np.random.default_rng(2)
+    M, N = 512, 1024
+    tn = 128
+    q = jnp.asarray(rng.uniform(0, 20, (M, 3)).astype(np.float32))
+    r = jnp.asarray(rng.uniform(0, 20, (N, 3)).astype(np.float32))
+    qm = jnp.ones((M,), bool)
+    rm = jnp.asarray(rng.uniform(size=N) > 0.1)
+    origin = jnp.zeros(3)
+    cell = jnp.float32(4.0)
+    rt, rsq, rcodes_s, rperm = banded_prepare(r, rm, origin, cell)
+    payload = jnp.concatenate(
+        [r, jnp.asarray(rng.normal(size=(N, 5)).astype(np.float32))], axis=1)
+    pay_t = payload[rperm].T
+
+    qcodes = morton_codes(q, qm, origin, cell)
+    qperm = jnp.argsort(qcodes)
+    qs = q[qperm]
+    # full coverage: band = all ref tiles -> exact
+    band = N // tn
+    starts = banded_window_starts(qcodes[qperm], rcodes_s, N // tn, band,
+                                  128, tn)
+    d_s, p_s = nn_payload_banded_sorted(qs, rt, rsq, pay_t, starts,
+                                        band=band, tm=128, tn=tn,
+                                        interpret=True)
+    inv = jnp.argsort(qperm)
+    d = np.asarray(d_s[inv])
+    p = np.asarray(p_s[inv])
+    d_ref, idx = nn_argmin_xla(q, qm, r, rm)
+    np.testing.assert_allclose(d, np.asarray(d_ref), rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(p, np.asarray(payload)[np.asarray(idx)],
+                               rtol=1e-5, atol=1e-5)
