@@ -179,6 +179,96 @@ def _radius_moments_pallas(points, mask, radius, tm: int = 512,
     return out[:10].T                                          # (N, 10)
 
 
+def _banded_moments_kernel(start_ref, qt_ref, rt_ref, rsqm_ref, f_ref,
+                           out_ref, *, rad2: float):
+    """Banded variant of `_radius_moments_kernel`: grid (tiles, band), the
+    output block is revisited across the band steps and accumulates the
+    windowed moments."""
+    j = pl.program_id(1)
+    qt = qt_ref[:]
+    q2 = jnp.sum(qt * qt, axis=0)
+    cross = jax.lax.dot_general(
+        qt_ref[:], rt_ref[:], (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    d = q2[:, None] - 2.0 * cross + rsqm_ref[0, :][None, :]
+    w = (d <= rad2).astype(jnp.float32)
+    m = jax.lax.dot_general(
+        f_ref[:], w, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+
+    @pl.when(j == 0)
+    def _init():
+        out_ref[:, :] = jnp.zeros_like(out_ref)
+
+    out_ref[:, :] = out_ref[:, :] + m
+
+
+@partial(jax.jit, static_argnames=("radius", "cell_size", "band", "tm", "tn",
+                                   "interpret"))
+def _radius_moments_banded(points, mask, radius, cell_size: float = 2.0,
+                           band: int = 8, tm: int = 512, tn: int = 1024,
+                           interpret: bool = False):
+    """Morton-banded neighborhood moments: sort once, each query tile only
+    scans `band` reference tiles around its code bracket. Exact for
+    neighbors inside the window (cell_size >> radius keeps same-cell
+    neighbors contiguous); misses truncate a neighborhood slightly, which
+    the prefilter's normal/curvature consumers tolerate. Returns (N, 10)
+    moments in the ORIGINAL point order."""
+    from .banded_nn import banded_window_starts, morton_codes
+
+    N = points.shape[0]
+    big = jnp.float32(3.4e38)
+    origin = jnp.min(jnp.where(mask[:, None], points, big), axis=0)
+    codes = morton_codes(points, mask, origin, jnp.float32(cell_size))
+    perm = jnp.argsort(codes)
+    ps = points[perm]
+    ms = mask[perm]
+    codes_s = codes[perm]
+
+    m_f = ms.astype(jnp.float32)
+    x, y, z = ps[:, 0], ps[:, 1], ps[:, 2]
+    F = jnp.stack([x, y, z, x * x, y * y, z * z, x * y, x * z, y * z,
+                   jnp.ones_like(x)], axis=0) * m_f[None, :]
+    F = jnp.concatenate([F, jnp.zeros((6, N), jnp.float32)])
+    qt = ps.T.astype(jnp.float32)
+    rsq = jnp.sum(qt * qt, axis=0)[None, :]
+    rsq = jnp.where(ms[None, :], rsq, big)
+
+    n_rblocks = N // tn
+    band = min(band, n_rblocks)
+    starts = banded_window_starts(codes_s, codes_s, n_rblocks, band, tm, tn)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(N // tm, band),
+        in_specs=[
+            pl.BlockSpec((3, tm), lambda i, j, s: (0, i)),
+            pl.BlockSpec((3, tn), lambda i, j, s: (0, s[i] + j)),
+            pl.BlockSpec((1, tn), lambda i, j, s: (0, s[i] + j)),
+            pl.BlockSpec((16, tn), lambda i, j, s: (0, s[i] + j)),
+        ],
+        out_specs=pl.BlockSpec((16, tm), lambda i, j, s: (0, i)),
+    )
+    out = pl.pallas_call(
+        partial(_banded_moments_kernel,
+                rad2=float(radius) * float(radius)),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((16, N), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * N * band * tn * (3 + 16) + 4 * N * band * tn,
+            bytes_accessed=4 * (3 * N + 20 * N + 16 * N),
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(starts, qt, qt, rsq, F)
+    inv = jnp.argsort(perm)
+    return out[:10].T[inv]                                    # (N, 10)
+
+
 @partial(jax.jit, static_argnames=("radius", "block"))
 def radius_normals(points: jax.Array, mask: jax.Array, radius: float,
                    viewpoint: jax.Array | None = None, block: int = 2048):
@@ -199,7 +289,11 @@ def radius_normals(points: jax.Array, mask: jax.Array, radius: float,
     N = points.shape[0]
     dtype = points.dtype
 
-    if _on_tpu() and N % 1024 == 0 and N % 512 == 0:
+    if _on_tpu() and N >= 16384 and N % 1024 == 0 and N % 512 == 0:
+        # Morton-banded: 8x less distance work at 16k, slight neighborhood
+        # truncation at band-window edges (prefilter-tolerable)
+        M = _radius_moments_banded(points, mask, radius)
+    elif _on_tpu() and N % 1024 == 0 and N % 512 == 0:
         M = _radius_moments_pallas(points, mask, radius)
     else:
         x, y, z = points[:, 0], points[:, 1], points[:, 2]

@@ -223,3 +223,37 @@ def test_radius_moments_pallas_matches_xla():
                         np.ones((N, 1), np.float32)], axis=1) * m[:, None]
     expect = w.astype(np.float32) @ F
     np.testing.assert_allclose(M, expect, rtol=1e-4, atol=1e-3)
+
+
+def test_radius_moments_banded_full_coverage():
+    """Banded moments with full band coverage == exhaustive (interpret)."""
+    from aicp_mapping_tpu.ops.normals import (_radius_moments_banded,
+                                              _radius_moments_pallas)
+    rng = np.random.default_rng(7)
+    N = 1024
+    pts = jnp.asarray(rng.uniform(0, 8, (N, 3)).astype(np.float32))
+    mask = jnp.asarray(rng.uniform(size=N) > 0.1)
+    full = np.asarray(_radius_moments_pallas(pts, mask, 0.5, tm=128, tn=128,
+                                             interpret=True))
+    band = np.asarray(_radius_moments_banded(pts, mask, 0.5, cell_size=2.0,
+                                             band=N // 128, tm=128, tn=128,
+                                             interpret=True))
+    np.testing.assert_allclose(band, full, rtol=1e-5, atol=1e-4)
+
+
+def test_radius_moments_banded_partial_band_quality():
+    """Narrow band still recovers nearly all neighbors on a smooth scene."""
+    from aicp_mapping_tpu.ops.normals import (_radius_moments_banded,
+                                              _radius_moments_pallas)
+    from aicp_mapping_tpu.tools.synthetic import room_cloud
+    pts_np = room_cloud(n=2200, size=10.0, seed=1, noise=0.005)[:2048]
+    pts = jnp.asarray(pts_np)
+    mask = jnp.ones((len(pts_np),), bool)
+    full = np.asarray(_radius_moments_pallas(pts, mask, 0.4, tm=128, tn=128,
+                                             interpret=True))
+    band = np.asarray(_radius_moments_banded(pts, mask, 0.4, cell_size=2.0,
+                                             band=6, tm=128, tn=128,
+                                             interpret=True))
+    # counts: banded finds >= 90% of exhaustive neighbors for >= 90% of pts
+    frac = band[:, 9] / np.maximum(full[:, 9], 1.0)
+    assert np.quantile(frac, 0.1) > 0.9, np.quantile(frac, [0.05, 0.1, 0.5])
