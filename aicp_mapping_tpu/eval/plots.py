@@ -70,6 +70,47 @@ def plot_segment_errors(path_png: str, errors, title: str = "") -> None:
     plt.close(fig)
 
 
+def plot_decision_region(path_png: str, classifier,
+                         features: np.ndarray | None = None,
+                         labels: np.ndarray | None = None,
+                         grid: int = 200, title: str = "") -> None:
+    """Risk-classifier decision-region image over the (overlap, alignability)
+    plane — the reference's SVM region rendering
+    (aicp_core/src/classification/example.cpp) as a matplotlib figure.
+    Optionally overlays a labelled dataset (green = success, red = failure).
+    """
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    ov = np.linspace(0.0, 100.0, grid, dtype=np.float32)
+    al = np.linspace(0.0, 100.0, grid, dtype=np.float32)
+    gx, gy = np.meshgrid(ov, al)
+    pts = np.stack([gx.ravel(), gy.ravel()], axis=1)
+    probs = np.asarray(classifier.test(pts)).reshape(grid, grid)
+
+    fig, ax = plt.subplots(figsize=(6, 5))
+    im = ax.imshow(probs, origin="lower", extent=(0, 100, 0, 100),
+                   aspect="auto", cmap="RdYlGn_r", vmin=0.0, vmax=1.0)
+    ax.contour(gx, gy, probs, levels=[classifier.threshold],
+               colors="k", linewidths=1.2)
+    if features is not None and labels is not None:
+        good = labels <= 0
+        ax.scatter(features[good, 0], features[good, 1], c="g", s=12,
+                   edgecolors="k", linewidths=0.3, label="success")
+        ax.scatter(features[~good, 0], features[~good, 1], c="r", s=12,
+                   edgecolors="k", linewidths=0.3, label="failure")
+        ax.legend(loc="best", fontsize=8)
+    fig.colorbar(im, ax=ax, label="P(alignment failure)")
+    ax.set_xlabel("octree overlap [%]")
+    ax.set_ylabel("alignability")
+    if title:
+        ax.set_title(title)
+    fig.tight_layout()
+    fig.savefig(path_png, dpi=120)
+    plt.close(fig)
+
+
 def plot_frame_metrics(path_png: str, frames, title: str = "") -> None:
     """Overlap / alignability / risk per frame — the signal-scope live plot
     (plot_alignment_risk.py) as a static figure."""

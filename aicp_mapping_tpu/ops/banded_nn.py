@@ -181,11 +181,17 @@ def _banded_payload_kernel(start_ref, qt_ref, rt_ref, rsq_ref, pay_ref,
         preferred_element_type=jnp.float32,
         precision=jax.lax.Precision.HIGHEST,
     )
-    d = q2[:, None] - 2.0 * cross + r2[None, :]
-    tile_min = jnp.min(d, axis=1)
-    arg = jnp.argmin(d, axis=1).astype(jnp.int32)
+    d = jnp.maximum(q2[:, None] - 2.0 * cross + r2[None, :], 0.0)
+    # Packed-key single-reduction min (see ops.knn._nn_payload_packed_kernel):
+    # distance bits quantized to ~1e-4 relative with the chunk-local column
+    # in the low 10 bits — one lane-min instead of min + argmin.
     col = jax.lax.broadcasted_iota(jnp.int32, (tm, tn), 1)
-    onehot = (col == arg[:, None]).astype(jnp.float32)
+    key = (jax.lax.bitcast_convert_type(d, jnp.int32)
+           & jnp.int32(~1023)) | col
+    bk = jnp.min(key, axis=1)
+    tile_min = jax.lax.bitcast_convert_type(bk & jnp.int32(~1023),
+                                            jnp.float32)
+    onehot = (key == bk[:, None]).astype(jnp.float32)
     sel = jax.lax.dot_general(
         pay_ref[:], onehot, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
@@ -199,7 +205,7 @@ def _banded_payload_kernel(start_ref, qt_ref, rt_ref, rsq_ref, pay_ref,
 
     best = dist_ref[0, :]
     take = tile_min < best
-    dist_ref[0, :] = jnp.where(take, jnp.maximum(tile_min, 0.0), best)
+    dist_ref[0, :] = jnp.where(take, tile_min, best)
     pout_ref[:, :] = jnp.where(take[None, :], sel, pout_ref[:, :])
 
 
@@ -249,6 +255,123 @@ def nn_payload_banded_sorted(qs, rt, rsq, pay_t, starts, band: int = 8,
         interpret=interpret,
     )(starts, qt, rt, rsq, pay_t)
     return dist_s.reshape(M), pout.T
+
+
+def _banded_payload_kernel_v2(starts_ref, qt_ref, rt3_ref, rsq3_ref,
+                              pay3_ref, dist_ref, pout_ref, *, band: int):
+    """Resident-reference banded 1-NN + payload.
+
+    Unlike `_banded_payload_kernel` (PrefetchScalarGridSpec, revisited
+    output blocks), this keeps the whole sorted reference in VMEM in block
+    layout (n_rblocks, ., tn) and walks the `band` window with dynamic
+    leading-dimension indexing — a plain (M // tm,) grid with no scalar
+    prefetch. The axon TPU runtime intermittently rejects the
+    scalar-prefetch formulation inside queued while_loop dispatches
+    (INVALID_ARGUMENT); this formulation avoids that machinery entirely.
+    VMEM budget: the reference blocks cost (4 + P) * N * 4 bytes — fine for
+    map capacities up to ~128k points on a 16 MB-VMEM core.
+    """
+    i = pl.program_id(0)
+    tm = qt_ref.shape[1]
+    tn = rt3_ref.shape[2]
+    p_dim = pay3_ref.shape[1]
+    qt = qt_ref[:]                       # (3, TM)
+    q2 = jnp.sum(qt * qt, axis=0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (tm, tn), 1)
+    s = starts_ref[0, i]
+
+    def step(j, carry):
+        best_k, best_p = carry
+        blk = s + j
+        r = rt3_ref[blk]                 # (3, TN)
+        r2 = rsq3_ref[blk][0, :]         # (TN,)
+        cross = jax.lax.dot_general(
+            qt, r, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        d = jnp.maximum(q2[:, None] - 2.0 * cross + r2[None, :], 0.0)
+        key = (jax.lax.bitcast_convert_type(d, jnp.int32)
+               & jnp.int32(~1023)) | col
+        bk = jnp.min(key, axis=1)
+        onehot = (key == bk[:, None]).astype(jnp.float32)
+        sel = jax.lax.dot_general(
+            pay3_ref[blk], onehot, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        take = bk < best_k
+        return (jnp.minimum(bk, best_k),
+                jnp.where(take[None, :], sel, best_p))
+
+    big_key = 2139081118   # int32 bits of 3.4e38
+    init = (jnp.full((tm,), big_key, jnp.int32),
+            jnp.zeros((p_dim, tm), jnp.float32))
+    best_k, best_p = jax.lax.fori_loop(0, band, step, init)
+    dist_ref[0, :] = jax.lax.bitcast_convert_type(
+        best_k & jnp.int32(~1023), jnp.float32)
+    pout_ref[:, :] = best_p
+
+
+@partial(jax.jit, static_argnames=("band", "tm", "tn", "interpret"))
+def nn_payload_banded_resident(qs, rt3, rsq3, pay3, starts, band: int = 8,
+                               tm: int = 512, tn: int = 1024,
+                               interpret: bool = False):
+    """Banded 1-NN + payload with the reference resident in VMEM.
+
+    qs: (M, 3) queries in (approximate) Morton order; rt3 (B, 3, tn),
+    rsq3 (B, 1, tn), pay3 (B, P, tn): the sorted reference in tile-block
+    layout (see `banded_blocks`); starts: (M // tm,) int32 window starts.
+    Returns (dist2 (M,), payload (M, P)) in the given query order.
+    """
+    M = qs.shape[0]
+    B, _, tn_ = rt3.shape
+    assert tn_ == tn and M % tm == 0, (rt3.shape, M, tm, tn)
+    P = pay3.shape[1]
+    G = M // tm
+    qt = qs.T.astype(jnp.float32)
+    starts2 = starts.reshape(1, G)
+
+    dist_s, pout = pl.pallas_call(
+        partial(_banded_payload_kernel_v2, band=band),
+        grid=(G,),
+        in_specs=[
+            pl.BlockSpec((1, G), lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((3, tm), lambda i: (0, i)),
+            pl.BlockSpec((B, 3, tn), lambda i: (0, 0, 0)),
+            pl.BlockSpec((B, 1, tn), lambda i: (0, 0, 0)),
+            pl.BlockSpec((B, P, tn), lambda i: (0, 0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, tm), lambda i: (0, i)),
+            pl.BlockSpec((P, tm), lambda i: (0, i)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((1, M), jnp.float32),
+            jax.ShapeDtypeStruct((P, M), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * M * band * tn * (3 + P) + 4 * M * band * tn,
+            bytes_accessed=4 * (3 * M + (4 + P) * B * tn + (1 + P) * M),
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(starts2, qt, rt3, rsq3, pay3)
+    return dist_s.reshape(M), pout.T
+
+
+def banded_blocks(rt, rsq, pay_t, tn: int = 1024):
+    """Reshape `banded_prepare` outputs (+ sorted payload) to the
+    (n_rblocks, ., tn) block layout `nn_payload_banded_resident` wants.
+    Do this ONCE per reference, outside the ICP loop."""
+    N = rt.shape[1]
+    B = N // tn
+    rt3 = rt.reshape(3, B, tn).transpose(1, 0, 2)
+    rsq3 = rsq.reshape(1, B, tn).transpose(1, 0, 2)
+    P = pay_t.shape[0]
+    pay3 = pay_t.reshape(P, B, tn).transpose(1, 0, 2)
+    return rt3, rsq3, pay3
 
 
 def banded_window_starts(qcodes_sorted_layout, rcodes_s, n_rblocks: int,

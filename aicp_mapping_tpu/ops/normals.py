@@ -179,32 +179,38 @@ def _radius_moments_pallas(points, mask, radius, tm: int = 512,
     return out[:10].T                                          # (N, 10)
 
 
-def _banded_moments_kernel(start_ref, qt_ref, rt_ref, rsqm_ref, f_ref,
-                           out_ref, *, rad2: float):
-    """Banded variant of `_radius_moments_kernel`: grid (tiles, band), the
-    output block is revisited across the band steps and accumulates the
-    windowed moments."""
-    j = pl.program_id(1)
+def _banded_moments_kernel(starts_ref, qt_ref, rt3_ref, rsq3_ref, f3_ref,
+                           out_ref, *, rad2: float, band: int):
+    """Banded variant of `_radius_moments_kernel`: the sorted cloud lives in
+    VMEM in (n_blocks, ., tn) block layout and each query tile walks its
+    `band`-block window with dynamic leading-dimension indexing (plain
+    (tiles,) grid — the scalar-prefetch grid formulation triggers
+    intermittent INVALID_ARGUMENT faults in the axon TPU runtime when mixed
+    with other banded kernels in one process)."""
+    i = pl.program_id(0)
+    tm = qt_ref.shape[1]
     qt = qt_ref[:]
     q2 = jnp.sum(qt * qt, axis=0)
-    cross = jax.lax.dot_general(
-        qt_ref[:], rt_ref[:], (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
-    )
-    d = q2[:, None] - 2.0 * cross + rsqm_ref[0, :][None, :]
-    w = (d <= rad2).astype(jnp.float32)
-    m = jax.lax.dot_general(
-        f_ref[:], w, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
-    )
+    s = starts_ref[0, i]
 
-    @pl.when(j == 0)
-    def _init():
-        out_ref[:, :] = jnp.zeros_like(out_ref)
+    def step(j, acc):
+        blk = s + j
+        cross = jax.lax.dot_general(
+            qt, rt3_ref[blk], (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        d = q2[:, None] - 2.0 * cross + rsq3_ref[blk][0, :][None, :]
+        w = (d <= rad2).astype(jnp.float32)
+        m = jax.lax.dot_general(
+            f3_ref[blk], w, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        return acc + m
 
-    out_ref[:, :] = out_ref[:, :] + m
+    out_ref[:, :] = jax.lax.fori_loop(
+        0, band, step, jnp.zeros((16, tm), jnp.float32))
 
 
 @partial(jax.jit, static_argnames=("radius", "cell_size", "band", "tm", "tn",
@@ -242,21 +248,23 @@ def _radius_moments_banded(points, mask, radius, cell_size: float = 2.0,
     band = min(band, n_rblocks)
     starts = banded_window_starts(codes_s, codes_s, n_rblocks, band, tm, tn)
 
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(N // tm, band),
-        in_specs=[
-            pl.BlockSpec((3, tm), lambda i, j, s: (0, i)),
-            pl.BlockSpec((3, tn), lambda i, j, s: (0, s[i] + j)),
-            pl.BlockSpec((1, tn), lambda i, j, s: (0, s[i] + j)),
-            pl.BlockSpec((16, tn), lambda i, j, s: (0, s[i] + j)),
-        ],
-        out_specs=pl.BlockSpec((16, tm), lambda i, j, s: (0, i)),
-    )
+    G = N // tm
+    rt3 = qt.reshape(3, n_rblocks, tn).transpose(1, 0, 2)
+    rsq3 = rsq.reshape(1, n_rblocks, tn).transpose(1, 0, 2)
+    f3 = F.reshape(16, n_rblocks, tn).transpose(1, 0, 2)
     out = pl.pallas_call(
         partial(_banded_moments_kernel,
-                rad2=float(radius) * float(radius)),
-        grid_spec=grid_spec,
+                rad2=float(radius) * float(radius), band=band),
+        grid=(G,),
+        in_specs=[
+            pl.BlockSpec((1, G), lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((3, tm), lambda i: (0, i)),
+            pl.BlockSpec((n_rblocks, 3, tn), lambda i: (0, 0, 0)),
+            pl.BlockSpec((n_rblocks, 1, tn), lambda i: (0, 0, 0)),
+            pl.BlockSpec((n_rblocks, 16, tn), lambda i: (0, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((16, tm), lambda i: (0, i)),
         out_shape=jax.ShapeDtypeStruct((16, N), jnp.float32),
         cost_estimate=pl.CostEstimate(
             flops=2 * N * band * tn * (3 + 16) + 4 * N * band * tn,
@@ -264,7 +272,7 @@ def _radius_moments_banded(points, mask, radius, cell_size: float = 2.0,
             transcendentals=0,
         ),
         interpret=interpret,
-    )(starts, qt, qt, rsq, F)
+    )(starts.reshape(1, G), qt, rt3, rsq3, f3)
     inv = jnp.argsort(perm)
     return out[:10].T[inv]                                    # (N, 10)
 

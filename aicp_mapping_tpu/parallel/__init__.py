@@ -7,3 +7,11 @@ from .posegraph import (  # noqa: F401
     pad_edges,
 )
 from .sharded_icp import histogram_quantile, sharded_point_to_plane_icp  # noqa: F401
+from .ba import (  # noqa: F401
+    PlaneBA,
+    build_plane_ba,
+    extract_planes,
+    optimize_plane_ba,
+    optimize_plane_ba_sharded,
+    pad_observations,
+)

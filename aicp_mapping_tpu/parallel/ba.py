@@ -1,0 +1,348 @@
+"""Plane-landmark bundle adjustment with a distributed Schur complement.
+
+NEW relative to the reference (SURVEY.md §2.12-bis): the required
+"distributed pose-graph / bundle adjustment with Schur-complement reduction
+over ICI collectives (psum/all_gather of per-block Hessians)". The reference
+has no landmark back-end at all; its planes live only inside the one-shot
+alignability statistic (filteringUtils.cpp:196-429). Here the same plane
+extraction feeds a proper BA:
+
+  - **Landmarks** are infinite planes pi_j = (n_j, d_j) in the world frame
+    (n.p = d for points p on the plane).
+  - **Observations** are planes measured in a keyframe's body frame
+    (m_o, e_o) with weights (e.g. cluster size), tying keyframe k to
+    landmark j. Prediction under pose T_k = (R_k, t_k):
+        m_hat = R_k^T n_j,   e_hat = d_j - n_j . t_k
+  - **Gauss-Newton with Schur elimination**: the landmark-landmark block
+    H_ll is 4x4 block-diagonal, so landmarks are eliminated per-block and
+    the reduced (6K x 6K) pose system is solved densely (keyframe counts
+    are small); landmark increments are back-substituted.
+  - **Distribution**: observations are sharded over a mesh axis inside
+    `shard_map`; every per-block Hessian/gradient accumulation
+    (H_pp, H_pl, H_ll, g) is a shard-local `segment_sum` followed by a
+    `psum` over ICI — the dense reduced solve runs replicated.
+
+Jacobians are produced by `jax.jacfwd` of the residual at the identity
+perturbation (left-multiplicative se(3) for poses, additive R^4 for plane
+params with post-step renormalization), so the linearization matches the
+residual by construction.
+"""
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+from ..geometry import se3
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class PlaneBA:
+    """Problem container (all fixed-capacity, mask-padded)."""
+
+    poses: jax.Array          # (K, 4, 4) world_T_body
+    landmarks: jax.Array      # (L, 4) world planes (nx, ny, nz, d), |n| = 1
+    obs_k: jax.Array          # (O,) int32 keyframe index
+    obs_l: jax.Array          # (O,) int32 landmark index
+    obs_plane: jax.Array      # (O, 4) measured body-frame plane (m, e)
+    obs_w: jax.Array          # (O,) weight
+    obs_mask: jax.Array       # (O,) validity
+
+    @property
+    def n_poses(self) -> int:
+        return self.poses.shape[0]
+
+    @property
+    def n_landmarks(self) -> int:
+        return self.landmarks.shape[0]
+
+
+def plane_residual(xi: jax.Array, dlm: jax.Array, T: jax.Array,
+                   lm: jax.Array, meas: jax.Array) -> jax.Array:
+    """4-vector residual of one observation under perturbations
+    (xi in se(3), left-multiplicative on T; dlm additive on the plane)."""
+    Tp = se3.se3_exp(xi) @ T
+    n = lm[:3] + dlm[:3]
+    d = lm[3] + dlm[3]
+    R = Tp[:3, :3]
+    t = Tp[:3, 3]
+    m_hat = R.T @ n
+    e_hat = d - jnp.dot(n, t)
+    return jnp.concatenate([m_hat - meas[:3], (e_hat - meas[3])[None]])
+
+
+_zero6 = jnp.zeros((6,), jnp.float32)
+_zero4 = jnp.zeros((4,), jnp.float32)
+
+
+def _linearize(T, lm, meas):
+    """Residual + Jacobians at the current estimate: r (4,), Jp (4, 6),
+    Jl (4, 4)."""
+    r = plane_residual(_zero6, _zero4, T, lm, meas)
+    Jp = jax.jacfwd(plane_residual, argnums=0)(_zero6, _zero4, T, lm, meas)
+    Jl = jax.jacfwd(plane_residual, argnums=1)(_zero6, _zero4, T, lm, meas)
+    return r, Jp, Jl
+
+
+def _accumulate(poses, landmarks, obs_k, obs_l, obs_plane, obs_w, obs_mask,
+                K: int, L: int):
+    """Shard-local block accumulation (runs inside or outside shard_map).
+
+    Returns (Hpp (K,6,6), Hpl (K,L,6,4), Hll (L,4,4), gp (K,6), gl (L,4),
+    chi2 scalar)."""
+    T_o = poses[obs_k]                       # (O, 4, 4)
+    lm_o = landmarks[obs_l]                  # (O, 4)
+    r, Jp, Jl = jax.vmap(_linearize)(T_o, lm_o, obs_plane)
+    w = (obs_w * obs_mask.astype(jnp.float32))[:, None, None]   # (O,1,1)
+
+    A = jnp.einsum("oab,oac->obc", Jp * w, Jp)     # (O, 6, 6)
+    Bo = jnp.einsum("oab,oac->obc", Jp * w, Jl)    # (O, 6, 4)
+    C = jnp.einsum("oab,oac->obc", Jl * w, Jl)     # (O, 4, 4)
+    gp_o = -jnp.einsum("oab,oa->ob", Jp * w, r)    # (O, 6)
+    gl_o = -jnp.einsum("oab,oa->ob", Jl * w, r)    # (O, 4)
+
+    seg_k = jnp.where(obs_mask, obs_k, K)
+    seg_l = jnp.where(obs_mask, obs_l, L)
+    seg_kl = jnp.where(obs_mask, obs_k * L + obs_l, K * L)
+    Hpp = jax.ops.segment_sum(A, seg_k, num_segments=K + 1)[:K]
+    Hll = jax.ops.segment_sum(C, seg_l, num_segments=L + 1)[:L]
+    Hpl = jax.ops.segment_sum(Bo, seg_kl,
+                              num_segments=K * L + 1)[:K * L]
+    Hpl = Hpl.reshape(K, L, 6, 4)
+    gp = jax.ops.segment_sum(gp_o, seg_k, num_segments=K + 1)[:K]
+    gl = jax.ops.segment_sum(gl_o, seg_l, num_segments=L + 1)[:L]
+    chi2 = jnp.sum(jnp.where(obs_mask, obs_w * jnp.sum(r * r, axis=1), 0.0))
+    return Hpp, Hpl, Hll, gp, gl, chi2
+
+
+def _schur_step(poses, landmarks, blocks, lm_damping: float,
+                pose_damping: float, gauge_weight: float):
+    """One GN step from accumulated blocks: Schur-eliminate landmarks,
+    solve the reduced pose system, back-substitute. Gauge: pose 0 pinned by
+    a strong prior on its diagonal block."""
+    Hpp, Hpl, Hll, gp, gl, _ = blocks
+    K, L = Hpl.shape[0], Hpl.shape[1]
+    I4 = jnp.eye(4, dtype=jnp.float32)
+    I6 = jnp.eye(6, dtype=jnp.float32)
+
+    Hll_d = Hll + lm_damping * I4[None]
+    Hll_inv = jnp.linalg.inv(Hll_d)                       # (L, 4, 4)
+
+    W = jnp.einsum("kjab,jbc->kjac", Hpl, Hll_inv)        # (K, L, 6, 4)
+    S_off = jnp.einsum("kjab,mjcb->kmac", W, Hpl)         # (K, K, 6, 6)
+    S = -S_off
+    diag = Hpp + pose_damping * I6[None]
+    S = S.at[jnp.arange(K), jnp.arange(K)].add(diag)
+    # gauge prior on pose 0
+    S = S.at[0, 0].add(gauge_weight * I6)
+
+    rhs = gp - jnp.einsum("kjab,jb->ka", W, gl)           # (K, 6)
+    S_f = S.transpose(0, 2, 1, 3).reshape(K * 6, K * 6)
+    xi = jnp.linalg.solve(S_f, rhs.reshape(K * 6)).reshape(K, 6)
+
+    # back-substitute landmarks: dl_j = Hll_inv (gl_j - sum_k B_kj^T xi_k)
+    corr = jnp.einsum("kjab,ka->jb", Hpl, xi)             # (L, 4)
+    dl = jnp.einsum("jab,jb->ja", Hll_inv, gl - corr)
+
+    new_poses = jax.vmap(lambda x, T: se3.se3_exp(x) @ T)(xi, poses)
+    lm = landmarks + dl
+    norm = jnp.maximum(jnp.linalg.norm(lm[:, :3], axis=1, keepdims=True),
+                       1e-9)
+    lm = jnp.concatenate([lm[:, :3] / norm, lm[:, 3:] / norm], axis=1)
+    return new_poses, lm
+
+
+@partial(jax.jit, static_argnames=("gn_iters",))
+def optimize_plane_ba(problem: PlaneBA, gn_iters: int = 6,
+                      lm_damping: float = 1e-4, pose_damping: float = 1e-6,
+                      gauge_weight: float = 1e6):
+    """Single-device plane BA. Returns (poses, landmarks, chi2_final)."""
+    K, L = problem.n_poses, problem.n_landmarks
+
+    def step(carry, _):
+        poses, lms = carry
+        blocks = _accumulate(poses, lms, problem.obs_k, problem.obs_l,
+                             problem.obs_plane, problem.obs_w,
+                             problem.obs_mask, K, L)
+        poses, lms = _schur_step(poses, lms, blocks, lm_damping,
+                                 pose_damping, gauge_weight)
+        return (poses, lms), blocks[5]
+
+    (poses, lms), chi2s = jax.lax.scan(
+        step, (problem.poses, problem.landmarks), None, length=gn_iters)
+    return poses, lms, chi2s[-1]
+
+
+def optimize_plane_ba_sharded(problem: PlaneBA, mesh: Mesh,
+                              axis: str = "graph", gn_iters: int = 6,
+                              lm_damping: float = 1e-4,
+                              pose_damping: float = 1e-6,
+                              gauge_weight: float = 1e6):
+    """Observation-sharded plane BA over a device mesh.
+
+    Observations are split along `axis` (pad with `pad_observations` so O is
+    divisible by the mesh size); each device accumulates its shard's
+    H/g blocks with segment_sum and the blocks are psum-reduced over ICI.
+    The reduced (6K x 6K) Schur solve and the state update run replicated.
+    Returns (poses, landmarks, chi2_final).
+    """
+    K, L = problem.n_poses, problem.n_landmarks
+    repl = P()
+    obs = P(axis)
+
+    @partial(jax.jit, static_argnames=())
+    @partial(jax.shard_map, mesh=mesh,
+             in_specs=(repl, repl, obs, obs, obs, obs, obs),
+             out_specs=(repl, repl, repl))
+    def run(poses, lms, obs_k, obs_l, obs_plane, obs_w, obs_mask):
+        def step(carry, _):
+            poses, lms = carry
+            local = _accumulate(poses, lms, obs_k, obs_l, obs_plane,
+                                obs_w, obs_mask, K, L)
+            blocks = jax.tree.map(lambda x: jax.lax.psum(x, axis), local)
+            poses, lms = _schur_step(poses, lms, blocks, lm_damping,
+                                     pose_damping, gauge_weight)
+            return (poses, lms), blocks[5]
+
+        (poses, lms), chi2s = jax.lax.scan(step, (poses, lms), None,
+                                           length=gn_iters)
+        return poses, lms, chi2s[-1]
+
+    return run(problem.poses, problem.landmarks, problem.obs_k,
+               problem.obs_l, problem.obs_plane, problem.obs_w,
+               problem.obs_mask)
+
+
+def pad_observations(problem: PlaneBA, multiple: int) -> PlaneBA:
+    """Pad the observation arrays so O % multiple == 0 (masked-out pads)."""
+    O = problem.obs_k.shape[0]
+    pad = (-O) % multiple
+    if pad == 0:
+        return problem
+    z = lambda x: jnp.concatenate(
+        [x, jnp.zeros((pad,) + x.shape[1:], x.dtype)])
+    return PlaneBA(
+        poses=problem.poses,
+        landmarks=problem.landmarks,
+        obs_k=z(problem.obs_k),
+        obs_l=z(problem.obs_l),
+        obs_plane=z(problem.obs_plane),
+        obs_w=z(problem.obs_w),
+        obs_mask=jnp.concatenate(
+            [problem.obs_mask, jnp.zeros((pad,), bool)]),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Front-end helpers: planes from keyframe clouds -> BA observations
+# ---------------------------------------------------------------------------
+
+def extract_planes(points: jax.Array, mask: jax.Array, normals: jax.Array,
+                   curvature: jax.Array, max_planes: int = 16,
+                   min_points: int = 50):
+    """Per-cloud plane extraction: Hough plane binning + per-cluster moments.
+
+    Returns (planes (max_planes, 4) [n, d] with n.p = d, weights
+    (max_planes,) = point counts, valid (max_planes,)) in the cloud's own
+    frame. Same clustering as the prefilter (ops.segmentation), so BA sees
+    the surfaces the alignability statistic is built from
+    (filteringUtils.cpp:196-286 semantics).
+    """
+    from ..ops.segmentation import compact_labels, hough_plane_labels
+
+    labels = hough_plane_labels(points, mask, normals, curvature)
+    comp, valid_c, sizes = compact_labels(labels, mask, max_planes)
+
+    n = points.shape[0]
+    seg = jnp.where(comp >= 0, comp, max_planes)
+    w = mask.astype(jnp.float32)
+    cnt = jax.ops.segment_sum(w, seg, num_segments=max_planes + 1)[:max_planes]
+    cent = jax.ops.segment_sum(points * w[:, None], seg,
+                               num_segments=max_planes + 1)[:max_planes]
+    cent = cent / jnp.maximum(cnt[:, None], 1.0)
+    nsum = jax.ops.segment_sum(normals * w[:, None], seg,
+                               num_segments=max_planes + 1)[:max_planes]
+    nrm = nsum / jnp.maximum(jnp.linalg.norm(nsum, axis=1, keepdims=True),
+                             1e-9)
+    d = jnp.sum(nrm * cent, axis=1)
+    planes = jnp.concatenate([nrm, d[:, None]], axis=1)
+    valid = valid_c & (cnt >= min_points)
+    return planes, cnt, valid
+
+
+def transform_plane(T: jax.Array, plane: jax.Array) -> jax.Array:
+    """Body-frame plane (m, e) -> world plane (n, d) under world_T_body T:
+    n = R m, d = e + n . t."""
+    R = T[:3, :3]
+    t = T[:3, 3]
+    n = R @ plane[:3]
+    d = plane[3] + jnp.dot(n, t)
+    return jnp.concatenate([n, d[None]])
+
+
+def build_plane_ba(keyframe_poses, keyframe_planes, keyframe_weights,
+                   keyframe_valid, angle_thresh_deg: float = 10.0,
+                   dist_thresh: float = 0.3):
+    """Associate per-keyframe body-frame planes into world landmarks and
+    assemble a PlaneBA problem (host-side greedy association — runs once
+    per backend invocation, not in the hot loop).
+
+    keyframe_poses: (K, 4, 4); keyframe_planes: (K, P, 4) body frame;
+    keyframe_weights: (K, P); keyframe_valid: (K, P) bool.
+    """
+    import numpy as np
+
+    poses = np.asarray(keyframe_poses, np.float32)
+    planes = np.asarray(keyframe_planes, np.float32)
+    weights = np.asarray(keyframe_weights, np.float32)
+    valid = np.asarray(keyframe_valid, bool)
+    K, Pn = planes.shape[0], planes.shape[1]
+    cos_t = np.cos(np.deg2rad(angle_thresh_deg))
+
+    lms: list[np.ndarray] = []
+    obs_k, obs_l, obs_plane, obs_w = [], [], [], []
+    for k in range(K):
+        T = poses[k]
+        for p in range(Pn):
+            if not valid[k, p]:
+                continue
+            body = planes[k, p]
+            wpl = np.asarray(transform_plane(jnp.asarray(T),
+                                             jnp.asarray(body)))
+            match = -1
+            flip = 1.0
+            for j, lm in enumerate(lms):
+                dot = float(np.dot(lm[:3], wpl[:3]))
+                # (n, d) and (-n, -d) are the same plane: match by |angle|
+                # and FLIP the observation to the landmark's orientation —
+                # an unflipped antipodal observation would inject a
+                # residual of ~2|n| and wreck the solve.
+                s = 1.0 if dot >= 0 else -1.0
+                if (abs(dot) >= cos_t
+                        and abs(float(lm[3] - s * wpl[3])) <= dist_thresh):
+                    match = j
+                    flip = s
+                    break
+            if match < 0:
+                lms.append(wpl)
+                match = len(lms) - 1
+            obs_k.append(k)
+            obs_l.append(match)
+            obs_plane.append(flip * body)
+            obs_w.append(float(weights[k, p]))
+
+    if not lms:
+        raise ValueError("no valid planes to build a BA problem from")
+    return PlaneBA(
+        poses=jnp.asarray(poses),
+        landmarks=jnp.asarray(np.stack(lms)),
+        obs_k=jnp.asarray(obs_k, jnp.int32),
+        obs_l=jnp.asarray(obs_l, jnp.int32),
+        obs_plane=jnp.asarray(np.stack(obs_plane)),
+        obs_w=jnp.asarray(obs_w, jnp.float32),
+        obs_mask=jnp.ones((len(obs_k),), bool),
+    )

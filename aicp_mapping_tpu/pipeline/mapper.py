@@ -181,9 +181,12 @@ class PoseGraphMapper:
                 graph, self.mesh, axis=self.mesh_axis, gn_iters=gn_iters)
         else:
             opt, chi2 = optimize_pose_graph(graph, gn_iters=gn_iters)
-        opt_np = np.asarray(opt)
+        return self._apply_poses(kfs, np.asarray(opt))
 
-        # apply deltas to keyframe clouds and the App graph; rebuild map
+    def _apply_poses(self, kfs: list[Keyframe],
+                     opt_np: np.ndarray) -> list[Keyframe]:
+        """Apply optimized poses to keyframe clouds + the App graph; rebuild
+        the aligned map."""
         new_map = []
         for k, kf in enumerate(kfs):
             delta = opt_np[k] @ np.linalg.inv(kf.pose)
@@ -198,6 +201,48 @@ class PoseGraphMapper:
         if new_map:
             self.app.aligned_map_np = np.concatenate(new_map)
         return kfs
+
+    def run_plane_ba(self, gn_iters: int = 6, max_planes: int = 12,
+                     min_points: int = 50) -> list[Keyframe]:
+        """Plane-landmark bundle adjustment refinement (parallel/ba.py).
+
+        Extracts plane clusters per keyframe (the alignability front-end's
+        surfaces), associates them into world landmarks, and jointly refines
+        keyframe poses + landmark planes with the Schur-complement GN —
+        observation-sharded over the mesh when one is configured."""
+        from ..parallel.ba import (build_plane_ba, extract_planes,
+                                   optimize_plane_ba,
+                                   optimize_plane_ba_sharded,
+                                   pad_observations)
+
+        kfs = self.keyframes()
+        if len(kfs) < 2:
+            return kfs
+        planes_l, w_l, v_l = [], [], []
+        for kf in kfs:
+            T_inv = jnp.asarray(
+                np.linalg.inv(kf.pose).astype(np.float32))
+            body = kf.cloud.transform(T_inv)
+            normals, curv, _ = radius_normals(
+                body.points, body.mask, 0.4, jnp.zeros((3,), jnp.float32))
+            pl, w, v = extract_planes(body.points, body.mask, normals, curv,
+                                      max_planes=max_planes,
+                                      min_points=min_points)
+            planes_l.append(np.asarray(pl))
+            w_l.append(np.asarray(w))
+            v_l.append(np.asarray(v))
+
+        poses = np.stack([kf.pose for kf in kfs]).astype(np.float32)
+        prob = build_plane_ba(poses, np.stack(planes_l), np.stack(w_l),
+                              np.stack(v_l))
+        if self.mesh is not None:
+            n_dev = self.mesh.shape[self.mesh_axis]
+            prob = pad_observations(prob, n_dev)
+            opt, _, _ = optimize_plane_ba_sharded(
+                prob, self.mesh, axis=self.mesh_axis, gn_iters=gn_iters)
+        else:
+            opt, _, _ = optimize_plane_ba(prob, gn_iters=gn_iters)
+        return self._apply_poses(kfs, np.asarray(opt))
 
     def run_backend(self) -> dict:
         """Propose + optimize; returns a summary."""

@@ -136,8 +136,9 @@ def point_to_plane_icp(
     use_payload = use_pallas and not use_banded
 
     if use_banded:
-        from ..ops.banded_nn import (banded_prepare, banded_window_starts,
-                                     morton_codes, nn_payload_banded_sorted)
+        from ..ops.banded_nn import (banded_blocks, banded_prepare,
+                                     banded_window_starts, morton_codes,
+                                     nn_payload_banded_resident)
 
         big = jnp.float32(1e30)
         origin = jnp.min(jnp.where(reference_mask[:, None],
@@ -146,6 +147,7 @@ def point_to_plane_icp(
         rt, rsq, rcodes_s, rperm = banded_prepare(
             reference_points, reference_mask, origin, cell)
         pay_t = payload[rperm].T                               # (8, N)
+        rt3, rsq3, pay3 = banded_blocks(rt, rsq, pay_t)
         # Sort the reading ONCE by its initial-transform Morton codes and
         # run the whole ICP in sorted order: every loop reduction (trim
         # histogram, 6x6 normal equations) is order-free, windows are
@@ -170,8 +172,8 @@ def point_to_plane_icp(
             codes = morton_codes(p, work_mask, origin, cell)
             starts = banded_window_starts(codes, rcodes_s, N // 1024,
                                           config.nn_band, 512, 1024)
-            dist2, pout = nn_payload_banded_sorted(
-                p, rt, rsq, pay_t, starts, band=config.nn_band)
+            dist2, pout = nn_payload_banded_resident(
+                p, rt3, rsq3, pay3, starts, band=config.nn_band)
             dist2 = jnp.where(work_mask, dist2, _BIG)
         elif use_payload:
             dist2, pout = nn_payload_pallas(p, work_mask, reference_points,

@@ -126,3 +126,46 @@ def test_banded_payload_sorted_matches_exact():
     np.testing.assert_allclose(d, np.asarray(d_ref), rtol=1e-4, atol=1e-5)
     np.testing.assert_allclose(p, np.asarray(payload)[np.asarray(idx)],
                                rtol=1e-5, atol=1e-5)
+
+
+def test_banded_payload_resident_matches_exact():
+    """nn_payload_banded_resident with full coverage == exact NN + gather
+    (interpret mode)."""
+    from aicp_mapping_tpu.ops.banded_nn import (banded_blocks, banded_prepare,
+                                                banded_window_starts,
+                                                nn_payload_banded_resident)
+    from aicp_mapping_tpu.ops.knn import nn_argmin_xla
+
+    rng = np.random.default_rng(5)
+    M, N = 512, 1024
+    tn = 128
+    q = jnp.asarray(rng.uniform(0, 20, (M, 3)).astype(np.float32))
+    r = jnp.asarray(rng.uniform(0, 20, (N, 3)).astype(np.float32))
+    qm = jnp.ones((M,), bool)
+    rm = jnp.asarray(rng.uniform(size=N) > 0.1)
+    origin = jnp.zeros(3)
+    cell = jnp.float32(4.0)
+    rt, rsq, rcodes_s, rperm = banded_prepare(r, rm, origin, cell)
+    payload = jnp.concatenate(
+        [r, jnp.asarray(rng.normal(size=(N, 5)).astype(np.float32))], axis=1)
+    pay_t = payload[rperm].T
+    rt3, rsq3, pay3 = banded_blocks(rt, rsq, pay_t, tn=tn)
+
+    qcodes = morton_codes(q, qm, origin, cell)
+    qperm = jnp.argsort(qcodes)
+    qs = q[qperm]
+    band = N // tn
+    starts = banded_window_starts(qcodes[qperm], rcodes_s, N // tn, band,
+                                  128, tn)
+    d_s, p_s = nn_payload_banded_resident(qs, rt3, rsq3, pay3, starts,
+                                          band=band, tm=128, tn=tn,
+                                          interpret=True)
+    inv = jnp.argsort(qperm)
+    d = np.asarray(d_s[inv])
+    p = np.asarray(p_s[inv])
+    d_ref, idx = nn_argmin_xla(q, qm, r, rm)
+    # packed-key distances: quantized to ~1.3e-4 relative
+    np.testing.assert_allclose(d, np.asarray(d_ref), rtol=3e-4, atol=1e-5)
+    expect = np.asarray(payload)[np.asarray(idx)]
+    same = np.all(p == expect, axis=1)
+    assert np.mean(same) > 0.99, np.mean(same)

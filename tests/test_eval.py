@@ -159,3 +159,17 @@ def test_pairwise_reports_degeneracy():
     for r in res:
         assert np.isfinite(r.degeneracy) and 0 <= r.degeneracy <= 100
         assert np.isfinite(r.icn) and 0 <= r.icn <= 1
+
+
+def test_decision_region_plot(tmp_path):
+    from aicp_mapping_tpu.classification.classifier import RiskClassifier
+    from aicp_mapping_tpu.eval.plots import plot_decision_region
+    rng = np.random.default_rng(0)
+    n = 120
+    feats = rng.uniform(0, 100, (n, 2)).astype(np.float32)
+    labels = (feats.sum(axis=1) < 90).astype(np.float32)  # low ov+align fails
+    clf = RiskClassifier()
+    clf.train(feats, labels, steps=300)
+    out = tmp_path / "region.png"
+    plot_decision_region(str(out), clf, feats, labels, grid=40)
+    assert out.exists() and out.stat().st_size > 1000

@@ -200,10 +200,21 @@ def test_nn_payload_matches_argmin():
 
     # pallas kernel in interpret mode (functional check; Mosaic-lowering
     # constraints are exercised on the real chip by the verify drive)
-    d_p, p_p = nn_payload_pallas(q, qm, r, rm, payload, interpret=True)
+    d_p, p_p = nn_payload_pallas(q, qm, r, rm, payload, packed=False,
+                                 interpret=True)
     np.testing.assert_allclose(np.asarray(d_p), np.asarray(d_ref),
                                rtol=1e-5, atol=1e-5)
     np.testing.assert_allclose(np.asarray(p_p), expect, rtol=1e-5, atol=1e-5)
+
+    # packed-key kernel (default): distances quantized to ~1.3e-4 relative
+    # (low 10 mantissa bits carry the column id); payloads still exact
+    # selections of the same winners away from sub-quantum ties.
+    d_k, p_k = nn_payload_pallas(q, qm, r, rm, payload, packed=True,
+                                 interpret=True)
+    np.testing.assert_allclose(np.asarray(d_k), np.asarray(d_ref),
+                               rtol=3e-4, atol=1e-5)
+    same_row = np.all(np.asarray(p_k) == expect, axis=1)
+    assert np.mean(same_row) > 0.99, np.mean(same_row)
 
 
 def test_radius_moments_pallas_matches_xla():
