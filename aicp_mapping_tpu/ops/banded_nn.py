@@ -383,6 +383,10 @@ def banded_window_starts(qcodes_sorted_layout, rcodes_s, n_rblocks: int,
     ICP start and drifting slightly as the transform updates), since each
     tile's window is re-bracketed from its actual min/max code here.
     """
+    # A reference smaller than band tiles would make the upper clip bound
+    # negative (all starts negative -> OOB dynamic block indexing on real
+    # Mosaic hardware); clamp so the window never exceeds the reference.
+    band = min(band, n_rblocks)
     M = qcodes_sorted_layout.shape[0]
     tiles = qcodes_sorted_layout.reshape(M // tm, tm)
     tile_lo = jnp.min(tiles, axis=1)
@@ -392,7 +396,8 @@ def banded_window_starts(qcodes_sorted_layout, rcodes_s, n_rblocks: int,
     lo_pos = jnp.searchsorted(rcodes_s, tile_lo, side="left")
     hi_pos = jnp.searchsorted(rcodes_s, tile_hi, side="right")
     center = (lo_pos + hi_pos) // (2 * tn)
-    return jnp.clip(center - band // 2, 0, n_rblocks - band).astype(jnp.int32)
+    return jnp.clip(center - band // 2, 0,
+                    max(n_rblocks - band, 0)).astype(jnp.int32)
 
 
 @partial(jax.jit, static_argnames=("band", "tm", "tn", "cell_size",

@@ -129,15 +129,24 @@ def voxel_set_overlap(points_a: jax.Array, mask_a: jax.Array,
     keys_a = voxel_keys(points_a, mask_a, voxel_size, origin=mins)
     keys_b = voxel_keys(points_b, mask_b, voxel_size, origin=mins)
 
-    tagged_a = jnp.where(keys_a == _INVALID_KEY, _INVALID_KEY, keys_a * 2)
-    tagged_b = jnp.where(keys_b == _INVALID_KEY, _INVALID_KEY, keys_b * 2 + 1)
+    # Tag in uint32 so the maximum 30-bit voxel key (2^30-1, produced by
+    # clipping at the far grid corner) cannot alias the invalid sentinel:
+    # max tagged value is 2^31-1 < 2^32-1.
+    invalid_u = jnp.uint32(0xFFFFFFFF)
+    ka = keys_a.astype(jnp.uint32)
+    kb = keys_b.astype(jnp.uint32)
+    tagged_a = jnp.where(keys_a == _INVALID_KEY, invalid_u, ka * 2)
+    tagged_b = jnp.where(keys_b == _INVALID_KEY, invalid_u, kb * 2 + 1)
     combined = jax.lax.sort(jnp.concatenate([tagged_a, tagged_b]))
 
-    valid = combined != _INVALID_KEY
+    valid = combined != invalid_u
     key = combined >> 1
-    tag = combined & 1
-    prev_key = jnp.concatenate([jnp.full((1,), -1, jnp.int32), key[:-1]])
-    next_key = jnp.concatenate([key[1:], jnp.full((1,), -2, jnp.int32)])
+    tag = (combined & 1).astype(jnp.int32)
+    # fills are outside the valid key range [0, 2^30) so they never match
+    prev_key = jnp.concatenate(
+        [jnp.full((1,), 0x7FFFFFFF, jnp.uint32), key[:-1]])
+    next_key = jnp.concatenate(
+        [key[1:], jnp.full((1,), 0x7FFFFFFE, jnp.uint32)])
     is_start = (key != prev_key) & valid
     is_end = (key != next_key) & valid
     next_tag = jnp.concatenate([tag[1:], jnp.zeros((1,), jnp.int32)])

@@ -93,9 +93,13 @@ class App:
         self.prior_map: Optional[Cloud] = None
         self.aligned_map_np: np.ndarray = np.zeros((0, 3), np.float32)
 
-        # Per-reference cache: filtered reference + its ICP normals
+        # Per-reference cache: filtered reference + its ICP normals.
+        # Keyed by an explicit monotonic token (NOT id(array): CPython
+        # recycles ids after GC, which could silently reuse stale normals
+        # for a freed-and-reallocated points array).
         self._ref_cache_key = None
         self._ref_cache = None
+        self._frame_counter = 0
 
         self._build_stages()
 
@@ -221,20 +225,23 @@ class App:
             pts, mask = self._crop_map(self.prior_map.points,
                                        self.prior_map.mask,
                                        jnp.asarray(reading.prior_pose))
-            return Cloud(pts, mask), reading.prior_pose, -1
+            # the crop depends on the per-frame pose -> never cache-hit
+            return Cloud(pts, mask), reading.prior_pose, -1, \
+                ("map", self._frame_counter)
         if cfg.localize_against_built_map:
             built = Cloud.from_numpy(self.aligned_map_np,
                                      capacity=self.cfg.map_capacity)
             pts, mask = self._crop_map(built.points, built.mask,
                                        jnp.asarray(reading.prior_pose))
-            return Cloud(pts, mask), reading.prior_pose, -1
+            return Cloud(pts, mask), reading.prior_pose, -1, \
+                ("map", self._frame_counter)
         ref = self.graph.current_reference()
         return (ref.cloud, ref.corrected_pose,
-                self.graph.current_reference_id)
+                self.graph.current_reference_id,
+                ("graph", self.graph.current_reference_id))
 
-    def _reference_with_normals(self, ref: Cloud, ref_pose, ref_id):
-        """Cache ICP normals per reference identity."""
-        key = (ref_id, id(ref.points))
+    def _reference_with_normals(self, ref: Cloud, ref_pose, key):
+        """Cache ICP normals per reference identity (explicit token)."""
         if self._ref_cache_key != key:
             normals = self._icp_normals(
                 ref.points, ref.mask, se3.translation(jnp.asarray(ref_pose)))
@@ -271,9 +278,10 @@ class App:
             return res
 
         t.tic()  # fullLoop
+        self._frame_counter += 1
 
         # ---------------- input (app.cpp:327-351) --------------------------
-        ref_cloud, ref_pose, ref_id = self._set_reference(cloud)
+        ref_cloud, ref_pose, ref_id, ref_key = self._set_reference(cloud)
 
         read_pose = cloud.prior_pose
         reading_raw = cloud.cloud
@@ -328,7 +336,7 @@ class App:
         if risk_ok:
             with t.section("computeRegistration"):
                 ref_normals = self._reference_with_normals(
-                    ref_cloud, ref_pose, ref_id)
+                    ref_cloud, ref_pose, ref_key)
                 ratio = clamp_trim_ratio(jnp.float32(octree_overlap),
                                          cfg.trim_ratio_floor,
                                          cfg.trim_ratio_ceil)

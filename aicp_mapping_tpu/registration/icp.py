@@ -31,6 +31,12 @@ from ..ops.knn import nn_argmin_pallas, nn_argmin_xla, nn_payload_pallas
 from ..ops.quantile import masked_quantile_hist
 
 _BIG = jnp.float32(3.4e38)
+# Validity guard for NN distances: the packed-key Pallas kernels quantize
+# distances by masking the low 10 mantissa bits, so a no-match sentinel
+# (_BIG, or a masked-ref +BIG row-sq) comes back as ~3.39998e38 — strictly
+# below _BIG. Compare against a far lower threshold so unmatched queries and
+# masked-reference matches are rejected regardless of quantization.
+_VALID_DIST = jnp.float32(1e30)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -77,6 +83,11 @@ class ICPResult:
     inlier_mask: jax.Array    # (M,) trimmed-inlier mask
     hessian: jax.Array        # (6, 6) final normal-equation matrix (for
                               # degeneracy/ICN prediction, filteringUtils.cpp:580-617)
+    # NOTE: per-point stats (match_dist2, inlier_mask, hessian, inlier_rms)
+    # are the values of the FINAL SOLVED ITERATION, i.e. linearized at the
+    # transform before the last update — not recomputed at the returned T.
+    # This matches the reference (its minimizer also reports final-iteration
+    # state) and saves a full extra NN pass after the loop.
 
 
 def _nn(queries, qmask, refs, rmask, use_pallas):
@@ -140,6 +151,11 @@ def point_to_plane_icp(
                                      banded_window_starts, morton_codes,
                                      nn_payload_banded_resident)
 
+        # Window can never exceed the reference tile count (a band wider
+        # than the reference would walk past the last block).
+        nn_band = min(config.nn_band, N // 1024)
+        # Pallas TPU kernels only run in interpret mode on CPU (tests).
+        nn_interpret = jax.default_backend() != "tpu"
         big = jnp.float32(1e30)
         origin = jnp.min(jnp.where(reference_mask[:, None],
                                    reference_points, big), axis=0)
@@ -171,9 +187,10 @@ def point_to_plane_icp(
         if use_banded:
             codes = morton_codes(p, work_mask, origin, cell)
             starts = banded_window_starts(codes, rcodes_s, N // 1024,
-                                          config.nn_band, 512, 1024)
+                                          nn_band, 512, 1024)
             dist2, pout = nn_payload_banded_resident(
-                p, rt3, rsq3, pay3, starts, band=config.nn_band)
+                p, rt3, rsq3, pay3, starts, band=nn_band,
+                interpret=nn_interpret)
             dist2 = jnp.where(work_mask, dist2, _BIG)
         elif use_payload:
             dist2, pout = nn_payload_pallas(p, work_mask, reference_points,
@@ -186,7 +203,7 @@ def point_to_plane_icp(
         if config.max_match_dist > 0.0:
             thresh = jnp.minimum(thresh,
                                  jnp.float32(config.max_match_dist ** 2))
-        w = m_f * (dist2 <= thresh) * (dist2 < _BIG)
+        w = m_f * (dist2 <= thresh) * (dist2 < _VALID_DIST)
         if pout is not None:
             q = pout[:, :3]
         else:

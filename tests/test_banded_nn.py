@@ -169,3 +169,45 @@ def test_banded_payload_resident_matches_exact():
     expect = np.asarray(payload)[np.asarray(idx)]
     same = np.all(p == expect, axis=1)
     assert np.mean(same) > 0.99, np.mean(same)
+
+
+def test_window_starts_small_reference_band_clamped():
+    """Regression (ADVICE r1): reference with fewer tiles than the band must
+    clamp the window, not produce negative starts (OOB block indexing on
+    real Mosaic hardware)."""
+    from aicp_mapping_tpu.ops.banded_nn import (banded_prepare,
+                                                banded_window_starts)
+
+    rng = np.random.default_rng(7)
+    N = 4096  # 4 tiles of 1024 < band=8
+    r = jnp.asarray(rng.uniform(0, 20, (N, 3)).astype(np.float32))
+    rm = jnp.ones((N,), bool)
+    origin = jnp.zeros(3)
+    _, _, rcodes_s, _ = banded_prepare(r, rm, origin, jnp.float32(4.0))
+    q = jnp.asarray(rng.uniform(0, 20, (512, 3)).astype(np.float32))
+    qcodes = morton_codes(q, jnp.ones((512,), bool), origin, jnp.float32(4.0))
+    starts = banded_window_starts(jnp.sort(qcodes), rcodes_s, N // 1024,
+                                  band=8, tm=512, tn=1024)
+    assert np.all(np.asarray(starts) >= 0), np.asarray(starts)
+    assert np.all(np.asarray(starts) == 0)  # only one legal window
+
+
+def test_icp_banded_small_reference():
+    """ICP with nn_mode='banded' on a reference smaller than band*1024
+    points must still converge (band is clamped to the tile count)."""
+    from aicp_mapping_tpu.geometry import se3
+    from aicp_mapping_tpu.ops.normals import radius_normals
+    from aicp_mapping_tpu.registration import ICPConfig, point_to_plane_icp
+
+    world = room_cloud(n=4096, size=15.0, seed=9, noise=0.005)
+    ref = Cloud.from_numpy(world, capacity=4096)
+    normals, _, _ = radius_normals(ref.points, ref.mask, 0.4)
+    T = se3.make_transform(se3.so3_exp(jnp.asarray([0.0, 0.0, 0.02])),
+                           jnp.asarray([0.1, -0.05, 0.0]))
+    reading = Cloud(se3.transform_points(T, ref.points), ref.mask)
+    res = point_to_plane_icp(
+        reading.points, reading.mask, ref.points, normals, ref.mask,
+        se3.identity(), jnp.float32(0.7),
+        ICPConfig(nn_mode="banded", nn_band=8))
+    err = se3.compose(res.T, T)
+    assert float(jnp.linalg.norm(se3.translation(err))) < 0.02
