@@ -97,6 +97,35 @@ class NormalCloud:
         )
 
 
+def repin_roll_pitch_np(corrected: np.ndarray, odom: np.ndarray) -> np.ndarray:
+    """Replace roll/pitch of `corrected` with odometry's, keeping yaw and
+    translation (removePitchRollCorrection, aligned_cloud.cpp:31-52).
+
+    Host-side numpy twin of se3.repin_roll_pitch (ZYX euler convention,
+    common.cpp:70-105): poses are tiny and touched every frame — keeping
+    their math on the host avoids device dispatch + fetch round-trips, which
+    dominate per-frame latency on a remote-tunneled chip (~25 ms each).
+    """
+    R_o = np.asarray(odom, np.float64)[:3, :3]
+    R_c = np.asarray(corrected, np.float64)[:3, :3]
+    # ZYX: R = Rz(yaw) @ Ry(pitch) @ Rx(roll)
+    roll = np.arctan2(R_o[2, 1], R_o[2, 2])
+    pitch = -np.arcsin(np.clip(R_o[2, 0], -1.0, 1.0))
+    yaw = np.arctan2(R_c[1, 0], R_c[0, 0])
+    cr, sr = np.cos(roll), np.sin(roll)
+    cp, sp = np.cos(pitch), np.sin(pitch)
+    cy, sy = np.cos(yaw), np.sin(yaw)
+    R = np.array([
+        [cy * cp, cy * sp * sr - sy * cr, cy * sp * cr + sy * sr],
+        [sy * cp, sy * sp * sr + cy * cr, sy * sp * cr - cy * sr],
+        [-sp, cp * sr, cp * cr],
+    ])
+    out = np.eye(4, dtype=np.float32)
+    out[:3, :3] = R.astype(np.float32)
+    out[:3, 3] = np.asarray(corrected, np.float32)[:3, 3]
+    return out
+
+
 @dataclasses.dataclass
 class AlignedCloud:
     """Host-side record of one accumulated cloud and its poses.
@@ -104,27 +133,27 @@ class AlignedCloud:
     Mirrors the reference's `AlignedCloud` semantics
     (aligned_cloud.cpp:6-74): odom pose is never updated; prior pose may be
     re-seeded; corrected = correction * prior with roll/pitch re-pinned to
-    odometry.
+    odometry. Poses are host numpy — only point data lives on device.
     """
 
     utime: int
     cloud: Cloud
-    odom_pose: jax.Array      # world_to_cloud_odom_ (4, 4)
-    prior_pose: jax.Array     # world_to_cloud_prior_
-    correction: jax.Array     # cloud_to_reference_
-    corrected_pose: jax.Array  # world_to_cloud_corrected_
+    odom_pose: np.ndarray      # world_to_cloud_odom_ (4, 4)
+    prior_pose: np.ndarray     # world_to_cloud_prior_
+    correction: np.ndarray     # cloud_to_reference_
+    corrected_pose: np.ndarray  # world_to_cloud_corrected_
     is_reference: bool = False
     its_reference_id: int = -1
 
     @staticmethod
-    def create(utime: int, cloud: Cloud, prior_pose: jax.Array) -> "AlignedCloud":
-        prior_pose = jnp.asarray(prior_pose, dtype=jnp.float32)
+    def create(utime: int, cloud: Cloud, prior_pose) -> "AlignedCloud":
+        prior_pose = np.asarray(prior_pose, dtype=np.float32)
         return AlignedCloud(
             utime=utime,
             cloud=cloud,
             odom_pose=prior_pose,
             prior_pose=prior_pose,
-            correction=se3.identity(),
+            correction=np.eye(4, dtype=np.float32),
             corrected_pose=prior_pose,
             is_reference=False,
             its_reference_id=-1,
@@ -133,16 +162,16 @@ class AlignedCloud:
     def update(
         self,
         cloud: Cloud,
-        correction: Optional[jax.Array] = None,
+        correction=None,
         is_reference: bool = False,
         its_reference_id: Optional[int] = None,
     ) -> None:
         """Apply a correction and re-pin roll/pitch (aligned_cloud.cpp:56-74)."""
         if correction is not None:
-            self.correction = jnp.asarray(correction, dtype=jnp.float32)
+            self.correction = np.asarray(correction, dtype=np.float32)
         self.cloud = cloud
-        corrected = se3.compose(self.correction, self.prior_pose)
-        self.corrected_pose = se3.repin_roll_pitch(corrected, self.odom_pose)
+        corrected = np.asarray(self.correction) @ np.asarray(self.prior_pose)
+        self.corrected_pose = repin_roll_pitch_np(corrected, self.odom_pose)
         self.is_reference = is_reference
         if its_reference_id is not None:
             self.its_reference_id = its_reference_id

@@ -41,6 +41,15 @@ def save_checkpoint(app, path: str) -> None:
     if app.prior_map is not None:
         arrays["prior_map_points"] = np.asarray(app.prior_map.points)
         arrays["prior_map_mask"] = np.asarray(app.prior_map.mask)
+    if app._ref_device is not None:
+        # Device-resident current reference (points, mask, normals) + pose —
+        # normals came from the fused step's aligned outputs, so they must be
+        # saved (not recomputed) for bit-identical resume.
+        rp, rm, rn = app._ref_device
+        arrays["ref_points"] = np.asarray(rp)
+        arrays["ref_mask"] = np.asarray(rm)
+        arrays["ref_normals"] = np.asarray(rn)
+        arrays["ref_pose"] = np.asarray(app._ref_pose)
 
     frames = []
     for f in app.frames:
@@ -106,6 +115,23 @@ def load_checkpoint(path: str, visualizer=None, classifier=None):
             its_reference_id=meta["its_reference_id"])
         app.graph.add(ac)
     app.graph.current_reference_id = manifest["current_reference_id"]
+
+    if "ref_points" in data:
+        app._ref_device = (jnp.asarray(data["ref_points"]),
+                           jnp.asarray(data["ref_mask"]),
+                           jnp.asarray(data["ref_normals"]))
+        app._ref_pose = np.asarray(data["ref_pose"], np.float32)
+    elif not app.graph.is_empty():
+        # older checkpoint without reference arrays: rebuild from the graph
+        # reference (normals recomputed — resume is then only approximate)
+        ref = app.graph.current_reference()
+        from ..geometry import se3 as _se3
+
+        normals = app._icp_normals(
+            ref.cloud.points, ref.cloud.mask,
+            _se3.translation(jnp.asarray(ref.corrected_pose)))
+        app._ref_device = (ref.cloud.points, ref.cloud.mask, normals)
+        app._ref_pose = np.asarray(ref.corrected_pose, np.float32)
 
     for d in manifest["frames"]:
         d["correction"] = np.asarray(d["correction"], np.float32)

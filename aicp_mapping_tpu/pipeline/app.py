@@ -2,30 +2,34 @@
 
 Re-design of `aicp::App` (aicp_core/src/registration/app.cpp, app.hpp:50-105)
 for a host-driven / device-computed split: all per-frame decisions (mode
-switches, gates, reference policy) run in host Python; every hot stage
-(pre-filter, overlap, alignability, ICP) is a shape-static jitted function so
-nothing recompiles across frames.
+switches, gates, reference policy) run in host Python; the whole per-frame
+hot block (prefilter -> overlap -> risk -> auto-tuned ICP) is ONE jitted
+dispatch (`pipeline.fused.make_app_frame_step`) with exactly one device sync
+per frame — mirroring the reference, where app.cpp:218-247 runs the same
+block as one unit on the worker thread.
 
 Per-frame flow (processCloud, app.cpp:282-524):
   first cloud   -> prefilter, init graph + map            (app.cpp:286-316)
   set reference -> current ref / prior-map crop / built-map crop (app.cpp:37-75)
-  filter reading-> voxel + planes prefilter               (app.cpp:77-110)
-  overlap       -> occupancy overlap (50.0 fixed in prior-map mode,
-                   app.cpp:123-127)
-  risk          -> FOV overlap + alignability + classifier (app.cpp:143-185)
-  registration  -> auto-tuned trimmed point-to-plane ICP  (app.cpp:187-216)
-                   (skipped when risk > threshold, app.cpp:243-245)
+  frame step    -> prefilter + overlap (50.0 fixed in prior-map mode,
+                   app.cpp:123-127) + FOV/alignability/classifier risk
+                   (app.cpp:143-185) + auto-tuned trimmed point-to-plane ICP
+                   (app.cpp:187-216) in one dispatch; the risk gate
+                   (app.cpp:243-245) discards the computed correction on the
+                   host instead of skipping the solve — one mid-frame sync
+                   costs more than the ICP itself on TPU
   accept gate   -> |t| <= max_correction_magnitude per axis else drop
                    (app.cpp:366-373)
   graph update  -> windowed reference update every N clouds, or risk-forced
-                   (app.cpp:380-411)
+                   (app.cpp:380-411); the new reference's aligned points and
+                   rotated normals come out of the same dispatch, so a
+                   reference update costs no extra device work
   compose       -> initialT = correction * initialT        (app.cpp:414)
   outputs       -> poses/cloud/map via Visualizer          (app.cpp:425-505)
 """
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
 from typing import Optional
 
 import jax
@@ -35,17 +39,12 @@ import numpy as np
 from ..cloud import AlignedCloud, AlignedCloudsGraph, Cloud
 from ..classification.classifier import RiskClassifier
 from ..geometry import se3
-from ..ops.normals import estimate_normals
-from ..ops.segmentation import plane_segmentation_filter
 from ..ops.voxel import crop_box, voxel_downsample
-from ..overlap.alignability import alignability_filter
-from ..overlap.fov import fov_overlap
-from ..overlap.voxel_overlap import compute_overlap
-from ..registration.icp import clamp_trim_ratio, point_to_plane_icp
-from ..registration.monitor import residual_stats
+from ..ops.segmentation import plane_segmentation_filter
 from ..utils.timing import TimingUtils
 from ..utils.visualizer import NullVisualizer, Visualizer
 from .config import PipelineConfig
+from .fused import make_app_frame_step
 
 
 @dataclasses.dataclass
@@ -93,12 +92,12 @@ class App:
         self.prior_map: Optional[Cloud] = None
         self.aligned_map_np: np.ndarray = np.zeros((0, 3), np.float32)
 
-        # Per-reference cache: filtered reference + its ICP normals.
-        # Keyed by an explicit monotonic token (NOT id(array): CPython
-        # recycles ids after GC, which could silently reuse stale normals
-        # for a freed-and-reallocated points array).
-        self._ref_cache_key = None
-        self._ref_cache = None
+        # Current graph reference, device-resident:
+        # (points, mask, normals) + its world pose. Normals ride along from
+        # the prefilter / the fused step's aligned outputs, so reference
+        # updates never re-run a normals pass.
+        self._ref_device: Optional[tuple] = None
+        self._ref_pose: Optional[np.ndarray] = None
         self._frame_counter = 0
 
         self._build_stages()
@@ -112,7 +111,8 @@ class App:
         @jax.jit
         def prefilter(points, mask, viewpoint):
             """voxel 0.08 m + planes-only retention
-            (regionGrowingUniformPlaneSegmentationFilter, filteringUtils.cpp:5-45)."""
+            (regionGrowingUniformPlaneSegmentationFilter, filteringUtils.cpp:5-45).
+            Returns the surviving points' viewpoint-oriented normals too."""
             dpts, dmask = voxel_downsample(points, mask, cfg.voxel_size,
                                            cfg.downsample_capacity)
             fpts, fmask, fnormals, fcurv, _ = plane_segmentation_filter(
@@ -120,42 +120,19 @@ class App:
                 normal_k=cfg.prefilter_normal_k, graph_k=cfg.graph_k,
                 smoothness_deg=cfg.smoothness_deg,
                 min_cluster_size=cfg.min_cluster_size,
-                out_capacity=cfg.filtered_capacity)
+                out_capacity=cfg.filtered_capacity,
+                method=cfg.segmentation_method,
+                normal_radius=cfg.normal_radius)
             return fpts, fmask, fnormals
 
         @jax.jit
         def icp_normals(points, mask, viewpoint):
-            """SurfaceNormalDataPointsFilter analog on the reference
+            """SurfaceNormalDataPointsFilter analog for map-mode references
             (icp_autotuned.yaml:18-23) — gather-free radius normals."""
             from ..ops.normals import radius_normals
 
             normals, _, _ = radius_normals(points, mask, 0.4, viewpoint)
             return normals
-
-        @jax.jit
-        def overlap_stage(ref_pts, ref_mask, read_pts, read_mask):
-            return compute_overlap(ref_pts, ref_mask, read_pts, read_mask,
-                                   cfg.octree_resolution)
-
-        @jax.jit
-        def risk_features(ref_pts, ref_mask, ref_pose,
-                          read_pts, read_mask, read_pose):
-            fov, a_in_b, b_in_a = fov_overlap(
-                ref_pts, ref_mask, ref_pose, read_pts, read_mask, read_pose,
-                cfg.sensor_range, cfg.sensor_angular_view)
-            align, _ = alignability_filter(
-                ref_pts, a_in_b, ref_pose, read_pts, b_in_a, read_pose,
-                voxel_size=cfg.voxel_size,
-                ds_capacity=cfg.align_ds_capacity,
-                max_clusters=cfg.align_max_clusters)
-            return fov, align
-
-        @partial(jax.jit, static_argnames=())
-        def register_stage(read_pts, read_mask, ref_pts, ref_normals,
-                           ref_mask, trim_ratio):
-            return point_to_plane_icp(
-                read_pts, read_mask, ref_pts, ref_normals, ref_mask,
-                se3.identity(), trim_ratio, cfg.icp)
 
         @jax.jit
         def crop_map_stage(map_pts, map_mask, pose):
@@ -171,10 +148,21 @@ class App:
 
         self._prefilter = prefilter
         self._icp_normals = icp_normals
-        self._overlap = overlap_stage
-        self._risk_features = risk_features
-        self._register = register_stage
         self._crop_map = crop_map_stage
+
+        has_clf = (self.classifier is not None
+                   and self.classifier.model is not None)
+        self._app_step = make_app_frame_step(
+            cfg, with_risk=cfg.failure_prediction_mode,
+            with_classifier=has_clf)
+        if has_clf:
+            m = self.classifier.model
+            self._clf_params = (m.w, m.b, m.mean, m.std)
+        else:
+            self._clf_params = (jnp.zeros((10,), jnp.float32),
+                                jnp.float32(0.0),
+                                jnp.zeros((2,), jnp.float32),
+                                jnp.ones((2,), jnp.float32))
 
     # ------------------------------------------------------------------
     # public API (App::processCloud / filterCloud / runAicpPipeline analogs)
@@ -209,45 +197,36 @@ class App:
         self.cfg.localize_against_prior_map = True
 
     def _set_reference(self, reading: AlignedCloud):
-        """app.cpp:37-75. Returns (ref Cloud, ref pose, ref_id).
+        """app.cpp:37-75. Returns (pts, mask, normals, pose, ref_id,
+        fixed_overlap).
 
         Semantics: in prior-map localization every frame registers against
-        the cropped prior map; with load_map_from_file only the first frame
-        does (first_cloud_initialized_ gate, app.cpp:54-59); built-map mode
-        crops the accumulated aligned map; otherwise the current graph
-        reference is used.
+        the cropped prior map (octree overlap pinned at 50.0,
+        app.cpp:123-127); with load_map_from_file only the first frame does
+        (first_cloud_initialized_ gate, app.cpp:54-59); built-map mode crops
+        the accumulated aligned map; otherwise the current graph reference
+        (device-resident, with its normals) is used.
         """
         cfg = self.cfg
         use_map = (cfg.localize_against_prior_map
                    or ((cfg.load_map_from_file) and self.graph.is_empty()))
-        if use_map:
-            assert self.prior_map is not None, "prior map not loaded"
-            pts, mask = self._crop_map(self.prior_map.points,
-                                       self.prior_map.mask,
-                                       jnp.asarray(reading.prior_pose))
-            # the crop depends on the per-frame pose -> never cache-hit
-            return Cloud(pts, mask), reading.prior_pose, -1, \
-                ("map", self._frame_counter)
-        if cfg.localize_against_built_map:
-            built = Cloud.from_numpy(self.aligned_map_np,
-                                     capacity=self.cfg.map_capacity)
-            pts, mask = self._crop_map(built.points, built.mask,
-                                       jnp.asarray(reading.prior_pose))
-            return Cloud(pts, mask), reading.prior_pose, -1, \
-                ("map", self._frame_counter)
-        ref = self.graph.current_reference()
-        return (ref.cloud, ref.corrected_pose,
-                self.graph.current_reference_id,
-                ("graph", self.graph.current_reference_id))
-
-    def _reference_with_normals(self, ref: Cloud, ref_pose, key):
-        """Cache ICP normals per reference identity (explicit token)."""
-        if self._ref_cache_key != key:
-            normals = self._icp_normals(
-                ref.points, ref.mask, se3.translation(jnp.asarray(ref_pose)))
-            self._ref_cache = normals
-            self._ref_cache_key = key
-        return self._ref_cache
+        if use_map or cfg.localize_against_built_map:
+            if use_map:
+                assert self.prior_map is not None, "prior map not loaded"
+                src = self.prior_map
+            else:
+                src = Cloud.from_numpy(self.aligned_map_np,
+                                       capacity=self.cfg.map_capacity)
+            pose = np.asarray(reading.prior_pose, np.float32)
+            pts, mask = self._crop_map(src.points, src.mask,
+                                       jnp.asarray(pose))
+            normals = self._icp_normals(pts, mask,
+                                        jnp.asarray(pose[:3, 3]))
+            fixed = 50.0 if cfg.localize_against_prior_map else -1.0
+            return pts, mask, normals, pose, -1, fixed
+        pts, mask, normals = self._ref_device
+        return (pts, mask, normals, self._ref_pose,
+                self.graph.current_reference_id, -1.0)
 
     def process_cloud(self, cloud: AlignedCloud) -> Optional[FrameResult]:
         cfg = self.cfg
@@ -256,10 +235,14 @@ class App:
         # ---------------- first cloud bootstrap (app.cpp:286-316) ----------
         if (not cfg.localize_against_prior_map and not cfg.load_map_from_file
                 and self.graph.is_empty()):
-            filtered = self.filter_cloud(
-                cloud.cloud, se3.translation(cloud.prior_pose))
+            fpts, fmask, fnormals = self._prefilter(
+                cloud.cloud.points, cloud.cloud.mask,
+                jnp.asarray(np.asarray(cloud.prior_pose)[:3, 3]))
+            filtered = Cloud(fpts, fmask)
             cloud.update(filtered, is_reference=True, its_reference_id=0)
             self.graph.initialize(cloud)
+            self._ref_device = (fpts, fmask, fnormals)
+            self._ref_pose = np.asarray(cloud.corrected_pose)
             ref_np = filtered.to_numpy()
             self.vis.publish_cloud(ref_np, 0, "", cloud.utime)
             self.vis.publish_pose(np.asarray(cloud.corrected_pose), 0, "",
@@ -281,72 +264,59 @@ class App:
         self._frame_counter += 1
 
         # ---------------- input (app.cpp:327-351) --------------------------
-        ref_cloud, ref_pose, ref_id, ref_key = self._set_reference(cloud)
+        (ref_pts, ref_mask, ref_normals, ref_pose, ref_id,
+         fixed_overlap) = self._set_reference(cloud)
 
-        read_pose = cloud.prior_pose
-        reading_raw = cloud.cloud
+        read_pose = np.asarray(cloud.prior_pose, np.float32)
+        pre_T = np.eye(4, dtype=np.float32)
         if cfg.working_mode != "robot":
             # debug mode: integrate accumulated correction into the reading
             # (setAndFilterReading, app.cpp:86-96)
-            T0 = jnp.asarray(self.total_correction)
-            reading_raw = reading_raw.transform(T0)
-            read_pose = se3.compose(T0, read_pose)
+            pre_T = self.total_correction
+            read_pose = pre_T @ read_pose
             cloud.prior_pose = read_pose
             cloud.corrected_pose = read_pose
 
-        with t.section("setAndFilterReading"):
-            read_f = self.filter_cloud(reading_raw, se3.translation(read_pose))
+        # ------------- the fused frame step: ONE dispatch, ONE sync --------
+        with t.section("frameStep"):
+            out = self._app_step(
+                cloud.cloud.points, cloud.cloud.mask, pre_T,
+                read_pose, ref_pts, ref_normals, ref_mask,
+                np.asarray(ref_pose, np.float32),
+                np.float32(fixed_overlap), *self._clf_params)
+            (correction, octree_overlap, fov, align, risk, n_iter, rms,
+             fsize) = jax.device_get(
+                (out.correction, out.overlap_percent, out.fov_overlap,
+                 out.alignability, out.risk, out.n_iterations,
+                 out.inlier_rms, out.filtered_count))
+        correction = np.asarray(correction)
+        octree_overlap = float(octree_overlap)
+        fov = float(fov)
+        align = float(align)
+        risk = float(risk)
+        n_iter = int(n_iter)
+        rms = float(rms)
+        fsize = int(fsize)
+
+        read_f = Cloud(out.filtered_points, out.filtered_mask)
         if cfg.debug_dir:
             self._dump_debug_cloud(read_f, "prefiltered")
 
-        # ---------------- overlap (app.cpp:112-141) ------------------------
-        with t.section("computeOverlap"):
-            if cfg.localize_against_prior_map:
-                octree_overlap = 50.0  # fixed in prior-map mode (app.cpp:123-127)
-            else:
-                ov = self._overlap(ref_cloud.points, ref_cloud.mask,
-                                   read_f.points, read_f.mask)
-                octree_overlap = float(ov.overlap_percent)
-
-        # ---------------- alignment risk (app.cpp:143-185) -----------------
-        fov = -1.0
-        align = -1.0
-        risk = -1.0
         if cfg.failure_prediction_mode:
-            with t.section("computeAlignmentRisk"):
-                fov_j, align_j = self._risk_features(
-                    ref_cloud.points, ref_cloud.mask, jnp.asarray(ref_pose),
-                    read_f.points, read_f.mask, jnp.asarray(read_pose))
-                fov, align = float(fov_j), float(align_j)
-                if self.classifier is not None:
-                    probs = self.classifier.test(
-                        np.array([[octree_overlap, align]], np.float32))
-                    risk = float(np.asarray(probs).reshape(-1)[0])
-                self.vis.publish_metric("fov_overlap", fov, cloud.utime)
-                self.vis.publish_metric("alignability", align, cloud.utime)
-                self.vis.publish_metric("alignment_risk", risk, cloud.utime)
+            self.vis.publish_metric("fov_overlap", fov, cloud.utime)
+            self.vis.publish_metric("alignability", align, cloud.utime)
+            self.vis.publish_metric("alignment_risk", risk, cloud.utime)
         self.vis.publish_metric("octree_overlap", octree_overlap, cloud.utime)
 
-        # ---------------- registration (app.cpp:187-216, 236-246) ----------
-        correction = np.eye(4, dtype=np.float32)
-        registered = False
-        n_iter = 0
-        rms = 0.0
+        # ---------------- risk gate (app.cpp:243-245) ----------------------
         risk_ok = (not cfg.failure_prediction_mode) or (risk <= cfg.risk_threshold)
-        if risk_ok:
-            with t.section("computeRegistration"):
-                ref_normals = self._reference_with_normals(
-                    ref_cloud, ref_pose, ref_key)
-                ratio = clamp_trim_ratio(jnp.float32(octree_overlap),
-                                         cfg.trim_ratio_floor,
-                                         cfg.trim_ratio_ceil)
-                result = self._register(read_f.points, read_f.mask,
-                                        ref_cloud.points, ref_normals,
-                                        ref_cloud.mask, ratio)
-                correction = np.asarray(result.T)
-                n_iter = int(result.n_iterations)
-                rms = float(result.inlier_rms)
-                registered = True
+        registered = risk_ok
+        if not risk_ok:
+            # ICP ran on-device, but its result is discarded: the robot
+            # trusts odometry for one step (app.cpp:401-411).
+            correction = np.eye(4, dtype=np.float32)
+            n_iter = 0
+            rms = 0.0
 
         # ---------------- accept gate + graph update (app.cpp:361-412) -----
         accepted = True
@@ -364,11 +334,11 @@ class App:
                     accepted=False, registered=registered,
                     n_iterations=n_iter, inlier_rms=rms,
                     corrected_pose=np.asarray(cloud.corrected_pose),
-                    filtered_size=int(read_f.count()))
+                    filtered_size=fsize)
                 self.frames.append(res)
                 return res
 
-            aligned = read_f.transform(jnp.asarray(correction))
+            aligned = Cloud(out.aligned_points, out.filtered_mask)
             if cfg.debug_dir:
                 self._dump_debug_cloud(aligned, "aligned")
             cloud.update(aligned, jnp.asarray(correction),
@@ -383,12 +353,18 @@ class App:
                     and not cfg.localize_against_prior_map):
                 self.graph.update_reference(self.graph.n_clouds - 1)
                 self.updates_counter += 1
+                self._ref_device = (out.aligned_points, out.filtered_mask,
+                                    out.aligned_normals)
+                self._ref_pose = np.asarray(cloud.corrected_pose)
             elif (cfg.load_map_from_file
                   and not cfg.localize_against_prior_map
                   and self.graph.n_clouds == 1):
                 # reference was the loaded map only for the first iteration
                 # (app.cpp:392-399)
                 self.graph.update_reference(self.graph.n_clouds - 1)
+                self._ref_device = (out.aligned_points, out.filtered_mask,
+                                    out.aligned_normals)
+                self._ref_pose = np.asarray(cloud.corrected_pose)
         else:
             # High risk: trust the prior for one step, force reference update
             # (app.cpp:401-411)
@@ -397,6 +373,9 @@ class App:
             self.graph.add(cloud)
             self.graph.update_reference(self.graph.n_clouds - 1)
             self.updates_counter += 1
+            self._ref_device = (out.filtered_points, out.filtered_mask,
+                                out.filtered_normals)
+            self._ref_pose = np.asarray(cloud.corrected_pose)
 
         # ---------------- compose + outputs (app.cpp:414-505) ---------------
         self.total_correction = correction @ self.total_correction
@@ -449,7 +428,7 @@ class App:
             alignability=align, risk=risk, correction=correction,
             accepted=accepted, registered=registered, n_iterations=n_iter,
             inlier_rms=rms, corrected_pose=np.asarray(last.corrected_pose),
-            filtered_size=int(read_f.count()))
+            filtered_size=fsize)
         self.frames.append(res)
         return res
 

@@ -53,6 +53,16 @@ class PipelineConfig:
     graph_k: int = 15
     smoothness_deg: float = 3.0
     min_cluster_size: int = 50
+    # "hough": gather-free radius normals + (normal, offset) plane binning —
+    #   fastest on TPU, tuned for indoor/short-range scans where a fixed
+    #   normals radius and offset resolution hold.
+    # "region_growing": kNN normals + bounded-iteration label propagation —
+    #   the reference's own connectivity semantics (PCL RegionGrowing,
+    #   filteringUtils.cpp:25-36); density-independent, required at outdoor
+    #   ranges where fixed-radius neighborhoods go empty and plane-offset
+    #   bins fragment (lever arm |p| amplifies normal noise).
+    segmentation_method: str = "hough"
+    normal_radius: float = 0.4             # hough-method moments radius
 
     # --- ICP chain (icp_autotuned.yaml) ---
     icp: ICPConfig = dataclasses.field(default_factory=ICPConfig)
@@ -165,6 +175,8 @@ def load_yaml_config(path: str, base: PipelineConfig | None = None) -> PipelineC
             ("mapCapacity", "map_capacity"),
             ("voxelSize", "voxel_size"),
             ("minClusterSize", "min_cluster_size"),
+            ("segmentationMethod", "segmentation_method"),
+            ("normalRadius", "normal_radius"),
     ):
         if yaml_key in pipe:
             cur = getattr(cfg, attr)

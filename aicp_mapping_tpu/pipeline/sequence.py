@@ -57,10 +57,21 @@ class SequenceRunner:
 
     def run_clouds(self, items: Iterable[tuple[int, np.ndarray, np.ndarray]]
                    ) -> list[FrameResult]:
-        """items: (utime, points (N,3), prior_pose (4,4))."""
+        """items: (utime, points (N,3), prior_pose (4,4)).
+
+        Uploads run one frame ahead: the next cloud's host->device transfer
+        (the largest per-frame transfer, ~25-35 ms on a tunneled chip) is
+        enqueued asynchronously before the current frame's process_cloud
+        blocks on its result, so transfer overlaps device compute."""
+        items = list(items)
         results = []
-        for utime, pts, pose in items:
-            cloud = Cloud.from_numpy(pts, capacity=self.raw_capacity)
+        next_cloud = (Cloud.from_numpy(items[0][1], capacity=self.raw_capacity)
+                      if items else None)
+        for i, (utime, pts, pose) in enumerate(items):
+            cloud = next_cloud
+            if i + 1 < len(items):
+                next_cloud = Cloud.from_numpy(items[i + 1][1],
+                                              capacity=self.raw_capacity)
             ac = AlignedCloud.create(utime, cloud, np.asarray(pose, np.float32))
             results.append(self.app.process_cloud(ac))
         return results

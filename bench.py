@@ -1,20 +1,30 @@
 #!/usr/bin/env python
-"""AICP-TPU benchmark: full frame pipeline throughput on one chip.
+"""AICP-TPU benchmark: full frame-pipeline throughput on one chip.
 
-Measures steady-state scans registered per second through the fused frame
-step (prefilter -> occupancy overlap -> auto-tuned trimmed point-to-plane
-ICP) on KITTI-scale synthetic scans, with windowed reference updates every 5
-frames (the reference's operating point, aicp_ros_node.cpp:27).
+Measures three things on KITTI-scale synthetic scans (~60k raw points per
+accumulated cloud, windowed reference updates every 5 frames — the
+reference's operating point, aicp_ros_node.cpp:27):
 
-Baseline: the reference repo publishes no benchmark numbers (BASELINE.md).
-Its per-stage tic/toc instrumentation and the ICRA'17 operating regime put
+  1. fused-step streaming throughput — the raw device pipeline
+     (make_frame_step enqueued back-to-back, no per-frame host sync;
+     pose output rides the previous correction, app_ros.cpp:68-149);
+  2. full-App throughput — `App.process_cloud` end to end, including the
+     state machine, gates, reference policy and per-frame scalar sync;
+  3. full-App synced per-frame latency (median), for apples-to-apples
+     comparison with the CPU reference's ~1 s per registered cloud.
+
+Headline metric = the full-App throughput (the shipped pipeline, not just
+its hot loop). Baseline: the reference publishes no numbers (BASELINE.md);
+its per-stage tic/toc instrumentation and the ICRA'17 operating regime put
 CPU AICP at ~1 s per registered cloud on robot CPUs; we use 1.0 scans/s as
 the conservative baseline. BASELINE.json's target is >= 10x that per chip.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...extras}.
+Use --breakdown for per-stage wall-clock.
 """
 from __future__ import annotations
 
+import argparse
 import json
 import os
 import time
@@ -26,60 +36,46 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax_comp")
 BASELINE_SCANS_PER_SEC = 1.0
 
 
-def main() -> None:
+def make_inputs(cfg, n_frames=28):
+    from aicp_mapping_tpu.pipeline.sequence import synthetic_sequence
+
+    # KITTI-scale synthetic drive: ~60k raw points per accumulated cloud
+    items, _ = synthetic_sequence(
+        n_frames=n_frames, n_points=60000, step=1.2, seed=0,
+        world_size=60.0, sensor_range=40.0, noise=0.02)
+    return items
+
+
+def bench_fused(cfg, items):
+    """Streaming throughput of the fused frame step (no per-frame sync)."""
     import jax
     import jax.numpy as jnp
 
     from aicp_mapping_tpu.cloud import Cloud
     from aicp_mapping_tpu.geometry import se3
-    from aicp_mapping_tpu.pipeline.config import PipelineConfig
     from aicp_mapping_tpu.pipeline.fused import (
         make_frame_step,
         make_reference_prep,
     )
-    from aicp_mapping_tpu.pipeline.sequence import synthetic_sequence
 
-    cfg = PipelineConfig(
-        raw_capacity=65536,
-        downsample_capacity=16384,
-        filtered_capacity=8192,
-    )
     frame_step = make_frame_step(cfg)
     ref_prep = make_reference_prep(cfg)
 
-    # KITTI-scale synthetic drive: ~60k raw points per accumulated cloud
-    items, _ = synthetic_sequence(
-        n_frames=28, n_points=60000, step=1.2, seed=0,
-        world_size=60.0, sensor_range=40.0, noise=0.02)
-
-    viewpoints = [it[2][:3, 3].astype(np.float32) for it in items]
-    clouds = [Cloud.from_numpy(it[1], capacity=cfg.raw_capacity)
+    viewpoints = [jnp.asarray(it[2][:3, 3].astype(np.float32)) for it in items]
+    clouds = [jax.device_put(Cloud.from_numpy(it[1], capacity=cfg.raw_capacity))
               for it in items]
 
-    vps = [jnp.asarray(v) for v in viewpoints]
-    clouds = [jax.device_put(c) for c in clouds]
-
-    # reference prep from frame 0
-    ref = ref_prep(clouds[0].points, clouds[0].mask, vps[0])
+    ref = ref_prep(clouds[0].points, clouds[0].mask, viewpoints[0])
     jax.block_until_ready(ref[0])
 
     def run_frame(i, ref):
         ref_pts, ref_mask, ref_normals = ref
-        return frame_step(clouds[i].points, clouds[i].mask, vps[i],
+        return frame_step(clouds[i].points, clouds[i].mask, viewpoints[i],
                           ref_pts, ref_normals, ref_mask, se3.identity())
 
-    # warmup / compile
     out = run_frame(1, ref)
     jax.block_until_ready(out.correction)
 
-    # Sustained streaming throughput: frames are enqueued without per-frame
-    # host sync — the streaming driver publishes corrected poses from the
-    # *previous* total correction while registration is in flight
-    # (reference semantics: app_ros.cpp:68-149, pose output never blocks on
-    # registration), so per-frame host round-trips are not on the critical
-    # path. Reference updates follow the windowed every-5 policy
-    # (aicp_ros_node.cpp:27) and depend only on the incoming cloud, keeping
-    # the device queue full.
     rates = []
     for _trial in range(3):
         t0 = time.perf_counter()
@@ -90,18 +86,81 @@ def main() -> None:
             for i in range(2, len(clouds)):
                 outs.append(run_frame(i, r).correction)
                 if (i - 1) % 5 == 0:
-                    r = ref_prep(clouds[i].points, clouds[i].mask, vps[i])
+                    r = ref_prep(clouds[i].points, clouds[i].mask,
+                                 viewpoints[i])
                 n += 1
         jax.block_until_ready(outs)
         rates.append(n / (time.perf_counter() - t0))
+    return float(np.median(rates))
 
-    scans_per_sec = float(np.median(rates))
-    print(json.dumps({
-        "metric": "aicp_frame_pipeline_throughput",
-        "value": round(scans_per_sec, 3),
+
+def bench_app(cfg, items, breakdown=False):
+    """Full App.process_cloud throughput + synced per-frame latency."""
+    import dataclasses
+
+    from aicp_mapping_tpu.pipeline.app import App
+    from aicp_mapping_tpu.pipeline.sequence import SequenceRunner
+
+    def run_once():
+        app = App(dataclasses.replace(cfg))
+        runner = SequenceRunner(app)
+        # warmup/compile on the first two frames
+        runner.run_clouds(items[:2])
+        t0 = time.perf_counter()
+        runner.run_clouds(items[2:])
+        total = time.perf_counter() - t0
+        # synced per-frame latency (no upload lookahead)
+        from aicp_mapping_tpu.cloud import AlignedCloud, Cloud
+
+        lat = []
+        for utime, pts, pose in items[2:10]:
+            f0 = time.perf_counter()
+            cloud = Cloud.from_numpy(pts, capacity=cfg.raw_capacity)
+            ac = AlignedCloud.create(utime, cloud, np.asarray(pose, np.float32))
+            app.process_cloud(ac)
+            lat.append(time.perf_counter() - f0)
+        return len(items) - 2, total, lat, app
+
+    n, total, lat, app = run_once()
+    n2, total2, lat2, _ = run_once()
+    rate = max(n / total, n2 / total2)
+    lat_ms = float(np.median(lat + lat2) * 1e3)
+    stages = app.timing.summary() if breakdown else {}
+    return rate, lat_ms, stages
+
+
+def main() -> None:
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--breakdown", action="store_true",
+                        help="add per-stage wall-clock to the JSON line")
+    parser.add_argument("--frames", type=int, default=28)
+    args = parser.parse_args()
+
+    from aicp_mapping_tpu.pipeline.config import PipelineConfig
+
+    cfg = PipelineConfig(
+        raw_capacity=65536,
+        downsample_capacity=16384,
+        filtered_capacity=8192,
+    )
+    items = make_inputs(cfg, n_frames=args.frames)
+
+    fused_rate = bench_fused(cfg, items)
+    app_rate, app_latency_ms, stages = bench_app(cfg, items,
+                                                 breakdown=args.breakdown)
+
+    record = {
+        "metric": "aicp_app_pipeline_throughput",
+        "value": round(app_rate, 3),
         "unit": "scans/sec/chip",
-        "vs_baseline": round(scans_per_sec / BASELINE_SCANS_PER_SEC, 3),
-    }))
+        "vs_baseline": round(app_rate / BASELINE_SCANS_PER_SEC, 3),
+        "fused_step_scans_per_sec": round(fused_rate, 3),
+        "app_scans_per_sec": round(app_rate, 3),
+        "app_frame_latency_ms": round(app_latency_ms, 3),
+    }
+    if args.breakdown:
+        record["stage_seconds"] = {k: round(v, 4) for k, v in stages.items()}
+    print(json.dumps(record))
 
 
 if __name__ == "__main__":

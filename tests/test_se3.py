@@ -94,3 +94,17 @@ def test_adjoint_consistency():
 def test_rotation_angle_deg():
     T = se3.make_transform(se3.so3_exp(jnp.array([0.0, 0.0, np.pi / 6])), jnp.zeros(3))
     assert abs(float(se3.rotation_angle_deg(T)) - 30.0) < 1e-3
+
+
+def test_repin_numpy_matches_jax():
+    """cloud.repin_roll_pitch_np (host-side per-frame pose math) must agree
+    with se3.repin_roll_pitch on random transforms."""
+    from aicp_mapping_tpu.cloud import repin_roll_pitch_np
+
+    for seed in range(6):
+        key = jax.random.PRNGKey(seed)
+        corrected = random_transform(key, scale=1.0)
+        odom = random_transform(jax.random.PRNGKey(seed + 100), scale=1.0)
+        want = np.asarray(se3.repin_roll_pitch(corrected, odom))
+        got = repin_roll_pitch_np(np.asarray(corrected), np.asarray(odom))
+        np.testing.assert_allclose(got, want, atol=1e-5)
