@@ -70,6 +70,12 @@ def _bind(lib: ctypes.CDLL) -> ctypes.CDLL:
                                        _c_double_p, ctypes.POINTER(ctypes.c_long)]
     lib.aicp_prefetch_destroy.restype = None
     lib.aicp_prefetch_destroy.argtypes = [ctypes.c_void_p]
+    lib.aicp_lzf_compress.restype = ctypes.c_long
+    lib.aicp_lzf_compress.argtypes = [ctypes.c_char_p, ctypes.c_long,
+                                      ctypes.c_char_p, ctypes.c_long]
+    lib.aicp_lzf_decompress.restype = ctypes.c_long
+    lib.aicp_lzf_decompress.argtypes = [ctypes.c_char_p, ctypes.c_long,
+                                        ctypes.c_char_p, ctypes.c_long]
     return lib
 
 
@@ -133,7 +139,9 @@ def _read_cloud_py(path: str) -> tuple[np.ndarray, np.ndarray]:
 
 
 def write_pcd(path: str, points: np.ndarray,
-              viewpoint=(0, 0, 0, 1, 0, 0, 0), binary: bool = True) -> None:
+              viewpoint=(0, 0, 0, 1, 0, 0, 0),
+              binary: bool | str = True) -> None:
+    """binary: False ascii, True binary, "compressed" binary_compressed."""
     lib = load()
     pts = np.ascontiguousarray(points, np.float32).reshape(-1, 3)
     if lib is None:
@@ -141,9 +149,10 @@ def write_pcd(path: str, points: np.ndarray,
         py_write(path, pts, viewpoint, binary)
         return
     vp = (ctypes.c_double * 7)(*[float(v) for v in viewpoint])
+    mode = 2 if binary == "compressed" else (1 if binary else 0)
     rc = lib.aicp_pcd_write(path.encode(),
                             pts.ctypes.data_as(_c_float_p), pts.shape[0],
-                            vp, 1 if binary else 0)
+                            vp, mode)
     if rc != 0:
         raise IOError(f"native pcd write failed: {path}")
 

@@ -33,9 +33,19 @@ long aicp_kitti_bin_read(const char* path, float** out_xyz);
 /* Auto-dispatch on extension (.pcd/.ply/.bin). viewpoint may be NULL. */
 long aicp_cloud_read(const char* path, float** out_xyz, double viewpoint[7]);
 
+/* binary: 0 ascii, 1 binary, 2 binary_compressed (LZF, PCL-compatible). */
 int aicp_pcd_write(const char* path, const float* xyz, long n,
                    const double viewpoint[7], int binary);
 void aicp_buffer_free(float* p);
+
+/* ---------- LZF block codec (liblzf stream format; PCL binary_compressed
+ * payloads). Return the output length, or -1 when out_cap is too small /
+ * the stream is malformed. Compressed output can exceed the input by
+ * ~1/32 + 1 bytes in the worst (incompressible) case. */
+long aicp_lzf_compress(const unsigned char* in, long in_len,
+                       unsigned char* out, long out_cap);
+long aicp_lzf_decompress(const unsigned char* in, long in_len,
+                         unsigned char* out, long out_cap);
 
 /* ---------- host voxel downsample (centroid) ----------
  * Writes at most capacity points into out_xyz; returns the number written.

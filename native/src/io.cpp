@@ -180,9 +180,53 @@ long aicp_pcd_read(const char* path, float** out_xyz, double viewpoint[7]) {
       xyz.push_back(static_cast<float>(
           field_to_double(row + offsets[zi], fields[zi].type, fields[zi].size)));
     }
+  } else if (data_mode == "binary_compressed") {
+    // PCL layout: u32 compressed_size, u32 uncompressed_size, LZF payload.
+    // Decompressed data is stored field-by-field (SoA): all of field 0 for
+    // every point, then field 1, ... (pcl::io::PCDWriter::writeBinaryCompressed).
+    unsigned int csize = 0, usize = 0;
+    if (std::fread(&csize, 4, 1, f) != 1 || std::fread(&usize, 4, 1, f) != 1) {
+      std::fclose(f);
+      return -2;
+    }
+    std::vector<unsigned char> cbuf(csize), ubuf(usize);
+    if (std::fread(cbuf.data(), 1, csize, f) != csize) {
+      std::fclose(f);
+      return -2;
+    }
+    if (aicp_lzf_decompress(cbuf.data(), static_cast<long>(csize),
+                            ubuf.data(), static_cast<long>(usize)) !=
+        static_cast<long>(usize)) {
+      std::fclose(f);
+      return -2;
+    }
+    std::vector<long> fstart(fields.size());
+    long acc = 0;
+    for (size_t i = 0; i < fields.size(); i++) {
+      fstart[i] = acc;
+      acc += static_cast<long>(fields[i].size) * fields[i].count * n_points;
+    }
+    if (acc > static_cast<long>(usize)) {
+      std::fclose(f);
+      return -2;
+    }
+    for (long i = 0; i < n_points; i++) {
+      xyz.push_back(static_cast<float>(field_to_double(
+          ubuf.data() + fstart[xi] +
+              i * static_cast<long>(fields[xi].size) * fields[xi].count,
+          fields[xi].type, fields[xi].size)));
+      xyz.push_back(static_cast<float>(field_to_double(
+          ubuf.data() + fstart[yi] +
+              i * static_cast<long>(fields[yi].size) * fields[yi].count,
+          fields[yi].type, fields[yi].size)));
+      xyz.push_back(static_cast<float>(field_to_double(
+          ubuf.data() + fstart[zi] +
+              i * static_cast<long>(fields[zi].size) * fields[zi].count,
+          fields[zi].type, fields[zi].size)));
+    }
   } else {
     std::fclose(f);
-    return -3;  // binary_compressed unsupported
+    return -3;  // unknown DATA mode
   }
   std::fclose(f);
 
@@ -333,14 +377,36 @@ int aicp_pcd_write(const char* path, const float* xyz, long n,
   if (!f) return -1;
   const double ident[7] = {0, 0, 0, 1, 0, 0, 0};
   const double* vp = viewpoint ? viewpoint : ident;
+  const char* mode = binary == 2 ? "binary_compressed"
+                                 : (binary ? "binary" : "ascii");
   std::fprintf(f,
                "# .PCD v0.7 - Point Cloud Data file format\n"
                "VERSION 0.7\nFIELDS x y z\nSIZE 4 4 4\nTYPE F F F\n"
                "COUNT 1 1 1\nWIDTH %ld\nHEIGHT 1\n"
                "VIEWPOINT %g %g %g %g %g %g %g\nPOINTS %ld\nDATA %s\n",
-               n, vp[0], vp[1], vp[2], vp[3], vp[4], vp[5], vp[6], n,
-               binary ? "binary" : "ascii");
-  if (binary) {
+               n, vp[0], vp[1], vp[2], vp[3], vp[4], vp[5], vp[6], n, mode);
+  if (binary == 2) {
+    // SoA reorder (all x, all y, all z), LZF, then u32 sizes + payload.
+    size_t usize = static_cast<size_t>(n) * 3 * sizeof(float);
+    std::vector<unsigned char> soa(usize);
+    float* fx = reinterpret_cast<float*>(soa.data());
+    for (long i = 0; i < n; i++) {
+      fx[i] = xyz[3 * i];
+      fx[n + i] = xyz[3 * i + 1];
+      fx[2 * n + i] = xyz[3 * i + 2];
+    }
+    std::vector<unsigned char> comp(usize + usize / 16 + 64);
+    long clen = aicp_lzf_compress(soa.data(), static_cast<long>(usize),
+                                  comp.data(), static_cast<long>(comp.size()));
+    if (clen < 0) {
+      std::fclose(f);
+      return -2;
+    }
+    unsigned int header[2] = {static_cast<unsigned int>(clen),
+                              static_cast<unsigned int>(usize)};
+    std::fwrite(header, 4, 2, f);
+    std::fwrite(comp.data(), 1, static_cast<size_t>(clen), f);
+  } else if (binary) {
     std::fwrite(xyz, sizeof(float), static_cast<size_t>(n) * 3, f);
   } else {
     for (long i = 0; i < n; i++)

@@ -30,6 +30,62 @@ def test_pcd_roundtrip_ascii(tmp_path):
     np.testing.assert_allclose(got, pts, atol=1e-5)
 
 
+def test_pcd_roundtrip_compressed(tmp_path):
+    """binary_compressed (LZF, SoA layout) — PCL's default in many
+    pipelines (cloudIO.cpp read paths); the round trip must be exact."""
+    pts = np.random.default_rng(2).normal(0, 5, (4000, 3)).astype(np.float32)
+    path = str(tmp_path / "c.pcd")
+    write_pcd(path, pts, viewpoint=(4, 5, 6, 1, 0, 0, 0), binary="compressed")
+    got, vp = read_pcd(path)
+    np.testing.assert_array_equal(got, pts)
+    np.testing.assert_allclose(vp[:3], [4, 5, 6])
+    # structured data must actually compress
+    import os
+
+    grid = np.stack(np.meshgrid(np.arange(30.0), np.arange(30.0),
+                                np.arange(3.0)), -1).reshape(-1, 3)
+    gpath = str(tmp_path / "grid.pcd")
+    write_pcd(gpath, grid.astype(np.float32), binary="compressed")
+    bpath = str(tmp_path / "grid_b.pcd")
+    write_pcd(bpath, grid.astype(np.float32), binary=True)
+    assert os.path.getsize(gpath) < 0.8 * os.path.getsize(bpath)
+
+
+def test_lzf_codec_roundtrip_and_backrefs():
+    from aicp_mapping_tpu.io.pcd import lzf_compress, lzf_decompress
+
+    rng = np.random.default_rng(3)
+    for data in (b"", b"a", b"abcabcabcabcabc" * 100,
+                 rng.bytes(5000),
+                 bytes(np.zeros(10000, np.uint8)),
+                 b"0123456789" * 3 + rng.bytes(64) + b"0123456789" * 3):
+        comp = lzf_compress(data)
+        assert lzf_decompress(comp, len(data)) == data
+    # repetitive input must produce back-references (real compression)
+    rep = b"xyzw" * 1000
+    assert len(lzf_compress(rep)) < len(rep) // 4
+
+
+def test_native_python_lzf_cross_compat(tmp_path):
+    """Files written by the native writer must load via the Python reader
+    and vice versa (same liblzf stream format)."""
+    from aicp_mapping_tpu import native
+
+    if not native.available():
+        pytest.skip("native library unavailable")
+    pts = np.random.default_rng(4).normal(0, 3, (500, 3)).astype(np.float32)
+    # native write -> python read
+    npath = str(tmp_path / "n.pcd")
+    native.write_pcd(npath, pts, binary="compressed")
+    got, _ = read_pcd(npath)
+    np.testing.assert_array_equal(got, pts)
+    # python write -> native read
+    ppath = str(tmp_path / "p.pcd")
+    write_pcd(ppath, pts, binary="compressed")
+    got2, _ = native.read_cloud(ppath)
+    np.testing.assert_array_equal(got2, pts)
+
+
 def test_pcd_drops_nan(tmp_path):
     pts = np.array([[0, 0, 0], [np.nan, 1, 1], [2, 2, 2]], dtype=np.float32)
     path = str(tmp_path / "c.pcd")
