@@ -171,14 +171,35 @@ def _cmd_classifier(args) -> int:
         return 2
 
     if args.test:
+        from .eval.analysis import f_scores
+
         feats, labels = load_label_file(args.test)
         probs = np.asarray(clf.test(feats)).reshape(-1)
         stats = confusion_stats(probs, labels, threshold=args.threshold)
         auc, _, _ = roc_curve(probs, labels)
         stats["auc"] = auc
+        best_t, best_f1, _, _ = f_scores(probs, labels)
+        stats["best_f1"] = best_f1
+        stats["best_f1_threshold"] = best_t
+        if args.compare_probs:
+            # Score another classifier's per-sample probabilities (e.g. the
+            # reference SVM's data/classification/probs_*.txt: `id prob`
+            # per row) on the same labelled test set.
+            ref = np.loadtxt(args.compare_probs)
+            ref = ref[:, 1] if ref.ndim == 2 else ref
+            r_auc, _, _ = roc_curve(ref, labels)
+            _, r_f1, _, _ = f_scores(ref, labels)
+            stats["compare"] = {
+                "auc": r_auc, "best_f1": r_f1,
+                **confusion_stats(ref, labels, threshold=args.threshold),
+            }
         print(json.dumps(stats, indent=2))
         if args.save_probs:
             np.savetxt(args.save_probs, probs, fmt="%.6f")
+        if args.save_eval:
+            with open(args.save_eval, "w") as f:
+                json.dump({"train": args.train, "test": args.test,
+                           "threshold": args.threshold, **stats}, f, indent=1)
     return 0
 
 
@@ -403,6 +424,10 @@ def build_parser() -> argparse.ArgumentParser:
     c.add_argument("--test", help="labelled testing file")
     c.add_argument("--model", help="model path to save (with --train) or load")
     c.add_argument("--save-probs", help="write per-sample probabilities")
+    c.add_argument("--save-eval", help="write the test metrics as JSON")
+    c.add_argument("--compare-probs",
+                   help="score another classifier's `id prob` file on the "
+                        "same test set (reference probs_*.txt format)")
     c.add_argument("--threshold", type=float, default=0.5)
     c.set_defaults(func=_cmd_classifier)
 

@@ -43,6 +43,54 @@ def test_save_load_roundtrip(tmp_path):
     np.testing.assert_allclose(p1, p2, rtol=1e-6)
 
 
+def test_real_data_beats_reference_svm():
+    """Train on the reference's real labelled experiment logs and evaluate on
+    its held-out test set (aicp_core/data/labels/*.txt). The pinned floors
+    are set just below the measured result (AUC 0.987, best-F1 0.904); the
+    reference's own SVM scores AUC 0.964 / best-F1 0.836 on this set
+    (probs_27Aug.txt scored by the same harness), so these floors certify
+    we at least match it."""
+    import os
+
+    from aicp_mapping_tpu.eval.analysis import f_scores, roc_curve
+
+    root = os.path.join(os.path.dirname(__file__), "..", "data", "labels")
+    ftr, ltr = load_label_file(
+        os.path.join(root, "training_all_labelled_1Sep.txt"))
+    fte, lte = load_label_file(
+        os.path.join(root, "testing_labelled_27Aug.txt"))
+    assert len(ltr) > 1000 and len(lte) > 200
+
+    clf = RiskClassifier(threshold=0.5)
+    clf.train(ftr, ltr)
+    probs = np.asarray(clf.test(fte)).reshape(-1)
+    auc, _, _ = roc_curve(probs, lte)
+    _, best_f1, _, _ = f_scores(probs, lte)
+    assert auc >= 0.975, auc          # reference SVM: 0.964
+    assert best_f1 >= 0.87, best_f1   # reference SVM: 0.836
+
+
+def test_shipped_default_model_matches_eval():
+    """The checked-in default asset (data/classification/risk_classifier.npz)
+    was trained on the real data; its test-set AUC must match the checked-in
+    eval_real.json record."""
+    import json
+    import os
+
+    from aicp_mapping_tpu.eval.analysis import roc_curve
+
+    root = os.path.join(os.path.dirname(__file__), "..", "data")
+    clf = RiskClassifier()
+    clf.load(os.path.join(root, "classification", "risk_classifier.npz"))
+    fte, lte = load_label_file(
+        os.path.join(root, "labels", "testing_labelled_27Aug.txt"))
+    probs = np.asarray(clf.test(fte)).reshape(-1)
+    auc, _, _ = roc_curve(probs, lte)
+    with open(os.path.join(root, "classification", "eval_real.json")) as f:
+        recorded = json.load(f)
+    np.testing.assert_allclose(auc, recorded["auc"], atol=1e-3)
+
+
 def test_label_file_parsing(tmp_path):
     # the reference's data/labels format: id overlap alignability label
     p = tmp_path / "labels.txt"
