@@ -25,11 +25,12 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 _BIG_F = 3.4e38
-_BIG = jnp.float32(_BIG_F)
+_BIG = np.float32(_BIG_F)
 
 
 def _spread3(v: jax.Array) -> jax.Array:

@@ -23,11 +23,12 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 _BIG_F = 3.4e38  # python float: safe to close over inside pallas kernels
-_BIG = jnp.float32(_BIG_F)
+_BIG = np.float32(_BIG_F)
 
 
 def _on_tpu() -> bool:

@@ -7,10 +7,13 @@ fraction of matches with smallest distance) and by the ICP quality monitor
 """
 from __future__ import annotations
 
+from functools import partial
+
 import jax
 import jax.numpy as jnp
+import numpy as np
 
-_BIG = jnp.float32(3.4e38)
+_BIG = np.float32(3.4e38)
 
 
 @jax.jit
@@ -30,9 +33,10 @@ def masked_quantile(values: jax.Array, mask: jax.Array, q) -> jax.Array:
     return sv[pos]
 
 
-@jax.jit
+@partial(jax.jit, static_argnames=("bins", "rounds", "axis_name"))
 def masked_quantile_hist(values: jax.Array, mask: jax.Array, q,
-                         bins: int = 128, rounds: int = 2) -> jax.Array:
+                         bins: int = 128, rounds: int = 2,
+                         axis_name: str | None = None) -> jax.Array:
     """Approximate masked quantile via iterative range-narrowing histograms.
 
     Each round counts values against `bins` evenly spaced edges with one
@@ -41,19 +45,30 @@ def masked_quantile_hist(values: jax.Array, mask: jax.Array, q,
     threshold to (range / bins^2), far below what the trimmed-distance
     filter is sensitive to; the ICP hot loop uses this instead of the
     O(N log N) sort (~7x faster at 8k points on TPU).
+
+    With `axis_name` (inside shard_map over point-sharded values) the
+    valid count, range max and per-round bin counts are psum/pmax-reduced,
+    so every shard converges on the same GLOBAL quantile — the collective
+    payload is `rounds` histograms of `bins` floats per call, never the
+    values themselves.
     """
-    v = jnp.where(mask, values, jnp.float32(0.0))
-    n = jnp.sum(mask.astype(jnp.float32))
+
+    def preduce(x):
+        return x if axis_name is None else jax.lax.psum(x, axis_name)
+
+    n = preduce(jnp.sum(mask.astype(jnp.float32)))
     target = jnp.ceil(q * n)
     lo = jnp.float32(0.0)
     hi = jnp.max(jnp.where(mask, values, -_BIG))
+    if axis_name is not None:
+        hi = jax.lax.pmax(hi, axis_name)
     hi = jnp.maximum(hi, 1e-12)
     vm = jnp.where(mask, values, _BIG)
     for _ in range(rounds):
         edges = lo + (hi - lo) * jnp.linspace(1.0 / bins, 1.0, bins)
         # counts[b] = #values <= edges[b]  (cumulative by construction)
-        counts = jnp.sum(vm[:, None] <= edges[None, :], axis=0,
-                         dtype=jnp.float32)
+        counts = preduce(jnp.sum(vm[:, None] <= edges[None, :], axis=0,
+                                 dtype=jnp.float32))
         meets = counts >= target
         b = jnp.argmax(meets)                  # first bracketing bin
         b = jnp.where(jnp.any(meets), b, bins - 1)

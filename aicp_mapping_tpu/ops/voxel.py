@@ -15,13 +15,14 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 # Grid extent per axis. 1024^3 = 2^30 keys fits int32. At 0.08 m leaves this
 # spans 81.9 m; at 0.2 m it spans 204 m — both beyond the reference's +/-30 m
 # crop window (velodyne_accumulator.cpp:58-60).
 GRID_BITS = 10
 GRID = 1 << GRID_BITS
-_INVALID_KEY = jnp.int32(2**31 - 1)
+_INVALID_KEY = np.int32(2**31 - 1)
 _KEY_BITS = 3 * GRID_BITS
 _KEY_MASK = (1 << _KEY_BITS) - 1
 _MIX_ODD = 0x2545F491  # odd -> bijective multiply mod 2^30

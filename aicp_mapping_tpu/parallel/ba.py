@@ -75,8 +75,13 @@ def plane_residual(xi: jax.Array, dlm: jax.Array, T: jax.Array,
     return jnp.concatenate([m_hat - meas[:3], (e_hat - meas[3])[None]])
 
 
-_zero6 = jnp.zeros((6,), jnp.float32)
-_zero4 = jnp.zeros((4,), jnp.float32)
+# numpy (not jnp) so importing this module never initializes a backend —
+# multi-host bring-up requires jax.distributed.initialize() to run before
+# ANY array creation (tests/test_distributed.py)
+import numpy as _np
+
+_zero6 = _np.zeros((6,), _np.float32)
+_zero4 = _np.zeros((4,), _np.float32)
 
 
 def _linearize(T, lm, meas):

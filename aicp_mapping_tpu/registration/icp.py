@@ -25,18 +25,19 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..geometry import se3
 from ..ops.knn import nn_argmin_pallas, nn_argmin_xla, nn_payload_pallas
 from ..ops.quantile import masked_quantile_hist
 
-_BIG = jnp.float32(3.4e38)
+_BIG = np.float32(3.4e38)
 # Validity guard for NN distances: the packed-key Pallas kernels quantize
 # distances by masking the low 10 mantissa bits, so a no-match sentinel
 # (_BIG, or a masked-ref +BIG row-sq) comes back as ~3.39998e38 — strictly
 # below _BIG. Compare against a far lower threshold so unmatched queries and
 # masked-reference matches are rejected regardless of quantization.
-_VALID_DIST = jnp.float32(1e30)
+_VALID_DIST = np.float32(1e30)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -61,16 +62,29 @@ class ICPConfig:
     # references with >99% exact-NN recall; "auto" picks banded on TPU when
     # the reference is large and shapes are tile-aligned.
     nn_mode: str = "auto"
-    # band=8 is the validated operating point on the axon TPU runtime:
-    # non-default bands compile and run standalone but have shown runtime
-    # INVALID_ARGUMENT faults when the banded kernel executes inside the
-    # ICP while_loop with queued dispatches — keep 8 unless revalidated.
-    nn_band: int = 8
+    # Morton-window width in reference tiles; 0 = auto-size. A query tile of
+    # 512 Morton-sorted points brackets ~N/(2M) reference tiles of the
+    # sorted reference; the window must cover that bracket plus margin for
+    # Z-order discontinuities, so auto picks max(8, 4 * round(N / 2M)) —
+    # e.g. 16 for an 8k reading against a 64k map. Too-narrow bands don't
+    # fault, they silently lose NN recall at window edges and can walk ICP
+    # away from convergence (measured: band 8 at 8k-vs-64k over a 30 m
+    # world diverges, band 16 is exact; bands {4, 8, 16} all execute clean
+    # inside the while_loop on the real chip).
+    nn_band: int = 0
     nn_cell_size: float = 4.0
     # Fixed trim ratio for non-auto-tuned chains (TrimmedDistOutlierFilter
     # ratio in Besl92_pt2point.yaml / icp_3D_cfg_trimmed.yaml); 0 means the
     # caller supplies the per-frame auto-tuned ratio (app.cpp:198-205).
     trim_ratio: float = 0.0
+    # SPMD: set to the shard_map mesh axis name when the READING points are
+    # sharded along the point axis (reference replicated). All global
+    # reductions — trim-quantile histograms, the 6x6 normal equations, the
+    # inlier RMS — are then psum-reduced over the axis, so every shard steps
+    # the identical replicated transform while the per-point work (including
+    # the Pallas payload / Morton-banded NN kernels) stays shard-local.
+    # None = single-device. Used by parallel.sharded_point_to_plane_icp.
+    axis_name: str | None = None
 
 
 @jax.tree_util.register_dataclass
@@ -118,8 +132,16 @@ def point_to_plane_icp(
     The correction T maps reading-frame points into alignment with the
     reference, i.e. aligned = T @ reading (same convention as the reference's
     `registerClouds` output `final_transform`).
+
+    With `config.axis_name` set (inside shard_map, reading point-sharded,
+    reference replicated) the same code runs SPMD: per-point work is
+    shard-local, global reductions ride psum over ICI.
     """
     S = config.smooth_length
+    axis = config.axis_name
+
+    def preduce(x):
+        return x if axis is None else jax.lax.psum(x, axis)
 
     M, N = reading_points.shape[0], reference_points.shape[0]
     use_banded = (
@@ -151,9 +173,14 @@ def point_to_plane_icp(
                                      banded_window_starts, morton_codes,
                                      nn_payload_banded_resident)
 
+        nn_band = config.nn_band
+        if nn_band <= 0:
+            # auto: cover the expected query-tile bracket (~N/(2M) ref
+            # tiles) with 4x margin for Morton-order discontinuities
+            nn_band = max(8, 4 * max(1, round(N / (2 * M))))
         # Window can never exceed the reference tile count (a band wider
         # than the reference would walk past the last block).
-        nn_band = min(config.nn_band, N // 1024)
+        nn_band = min(nn_band, N // 1024)
         # Pallas TPU kernels only run in interpret mode on CPU (tests).
         nn_interpret = jax.default_backend() != "tpu"
         big = jnp.float32(1e30)
@@ -199,7 +226,9 @@ def point_to_plane_icp(
             dist2, idx = _nn(p, work_mask, reference_points,
                              reference_mask, config.use_pallas)
         # histogram quantile: ~7x cheaper than sort in the per-iteration loop
-        thresh = masked_quantile_hist(dist2, work_mask, trim_ratio)
+        # (psum-reduced under shard_map -> one GLOBAL trim threshold)
+        thresh = masked_quantile_hist(dist2, work_mask, trim_ratio,
+                                      axis_name=axis)
         if config.max_match_dist > 0.0:
             thresh = jnp.minimum(thresh,
                                  jnp.float32(config.max_match_dist ** 2))
@@ -213,16 +242,16 @@ def point_to_plane_icp(
             r = jnp.sum(n * (p - q), axis=-1)          # point-to-plane residual
             J = jnp.concatenate([n, jnp.cross(p, n)], axis=-1)  # (M, 6), twist [v, w]
             Jw = J * w[:, None]
-            A = Jw.T @ J                                # (6, 6) — MXU
-            b = -(Jw.T @ r)                             # (6,)
+            A = preduce(Jw.T @ J)                       # (6, 6) — MXU
+            b = preduce(-(Jw.T @ r))                    # (6,)
         elif config.error_metric == "point_to_point":
             # Besl92: minimize ||p + v + w x p - q||^2 with J_i = [I | -skew(p_i)]
             rv = p - q                                  # (M, 3)
             eye = jnp.broadcast_to(jnp.eye(3, dtype=p.dtype),
                                    (p.shape[0], 3, 3))
             Jp = jnp.concatenate([eye, -se3.skew(p)], axis=-1)  # (M, 3, 6)
-            A = jnp.einsum("mij,m,mik->jk", Jp, w, Jp)
-            b = -jnp.einsum("mij,m,mi->j", Jp, w, rv)
+            A = preduce(jnp.einsum("mij,m,mik->jk", Jp, w, Jp))
+            b = preduce(-jnp.einsum("mij,m,mi->j", Jp, w, rv))
             r = jnp.linalg.norm(rv, axis=-1)            # scalar residual for stats
         else:
             raise ValueError(f"unknown error_metric {config.error_metric!r}")
@@ -256,11 +285,17 @@ def point_to_plane_icp(
         return (T_new, it + 1, hist_t, hist_r, done, (A, dist2, w, r))
 
     M = reading_points.shape[0]
+
+    def pvary(x):
+        # under shard_map the per-point loop outputs are device-varying;
+        # the initial carry must carry the same varying-axes type
+        return x if axis is None else jax.lax.pcast(x, axis, to="varying")
+
     init_stats = (
         jnp.zeros((6, 6), jnp.float32),
-        jnp.full((M,), _BIG, jnp.float32),
-        jnp.zeros((M,), jnp.float32),
-        jnp.zeros((M,), jnp.float32),
+        pvary(jnp.full((M,), _BIG, jnp.float32)),
+        pvary(jnp.zeros((M,), jnp.float32)),
+        pvary(jnp.zeros((M,), jnp.float32)),
     )
     init_state = (
         init_T.astype(jnp.float32),
@@ -273,8 +308,8 @@ def point_to_plane_icp(
     T, n_it, _, _, _, (A, dist2, w, r) = jax.lax.while_loop(
         cond, body, init_state)
 
-    wsum = jnp.maximum(jnp.sum(w), 1.0)
-    inlier_rms = jnp.sqrt(jnp.sum(w * r * r) / wsum)
+    wsum = jnp.maximum(preduce(jnp.sum(w)), 1.0)
+    inlier_rms = jnp.sqrt(preduce(jnp.sum(w * r * r)) / wsum)
     if use_banded:
         # per-point outputs back to the caller's reading order
         dist2 = dist2[inv_q]

@@ -9,11 +9,12 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..ops.knn import nn_argmin_xla
 from ..ops.quantile import masked_mean, masked_median, masked_quantile
 
-_BIG = jnp.float32(3.4e38)
+_BIG = np.float32(3.4e38)
 
 
 @jax.jit

@@ -121,7 +121,7 @@ def test_sharded_icp_matches_single_device():
     reading = ref.transform(jnp.asarray(T_pert))
 
     mesh = make_mesh(8, axis="points")
-    T_sh, it_sh, rms_sh, H_sh = sharded_point_to_plane_icp(
+    res_sh = sharded_point_to_plane_icp(
         mesh, reading.points, reading.mask,
         ref.points, normals, ref.mask, se3.identity(), 0.7)
 
@@ -129,10 +129,63 @@ def test_sharded_icp_matches_single_device():
                              normals, ref.mask, se3.identity(),
                              jnp.float32(0.7))
     # Both must invert the perturbation
-    for T in (T_sh, res.T):
+    for T in (res_sh.T, res.T):
         err = np.asarray(T) @ T_pert
         assert np.linalg.norm(err[:3, 3]) < 0.02
         assert float(se3.rotation_angle_deg(jnp.asarray(err))) < 0.3
-    # And agree closely with each other (histogram vs exact quantile trim)
-    np.testing.assert_allclose(np.asarray(T_sh), np.asarray(res.T),
+    # The sharded solve runs the SAME solver (identical histogram-quantile
+    # trim, psum-reduced) -> must agree tightly with single-device
+    np.testing.assert_allclose(np.asarray(res_sh.T), np.asarray(res.T),
+                               atol=1e-4)
+    assert int(res_sh.n_iterations) > 0
+    # per-point outputs keep full length and caller order
+    assert res_sh.match_dist2.shape == res.match_dist2.shape
+    assert res_sh.inlier_mask.shape == res.inlier_mask.shape
+
+
+def test_sharded_icp_banded_matches_single_device():
+    """Map-scale NN path under shard_map: Morton-banded windows run
+    shard-local (VERDICT r1: multi-chip must not fall back to the
+    exhaustive matcher). CPU executes the Pallas kernel in interpret mode;
+    tile alignment per shard: M/8 = 512, N = 4096."""
+    from aicp_mapping_tpu.registration.icp import ICPConfig
+
+    pts = room_cloud(n=4096, seed=7, noise=0.005, size=8.0)
+    ref = Cloud.from_numpy(pts, capacity=4096)
+    normals, _, _ = estimate_normals(ref.points, ref.mask, k=12)
+    T_pert = np.asarray(se3.make_transform(
+        se3.so3_exp(jnp.array([0.008, -0.01, 0.04])),
+        jnp.array([0.08, -0.06, 0.04])))
+    reading = ref.transform(jnp.asarray(T_pert))
+
+    cfg = ICPConfig(nn_mode="banded", nn_cell_size=2.0)
+    mesh = make_mesh(8, axis="points")
+    res_sh = sharded_point_to_plane_icp(
+        mesh, reading.points, reading.mask,
+        ref.points, normals, ref.mask, se3.identity(), 0.7, cfg)
+    res = point_to_plane_icp(reading.points, reading.mask, ref.points,
+                             normals, ref.mask, se3.identity(),
+                             jnp.float32(0.7), cfg)
+    err = np.asarray(res_sh.T) @ T_pert
+    assert np.linalg.norm(err[:3, 3]) < 0.02, err
+    assert float(se3.rotation_angle_deg(jnp.asarray(err))) < 0.3
+    # banded windows differ per shard (each shard sorts its own reading
+    # slice), so allow small trim differences vs the single-device solve
+    np.testing.assert_allclose(np.asarray(res_sh.T), np.asarray(res.T),
                                atol=5e-3)
+
+
+def test_collective_stats_accounting():
+    """eval.multichip parses all-reduce payloads out of compiled HLO text;
+    the sharded ICP's per-iteration collective volume must stay O(1) —
+    independent of point count (SURVEY §2.12-bis)."""
+    from aicp_mapping_tpu.eval.multichip import collective_stats
+
+    text = """
+      %all-reduce.1 = f32[128]{0} all-reduce(%x), replica_groups={}
+      %all-reduce.2 = f32[6,6]{1,0} all-reduce(%y), replica_groups={}
+      %ag = f32[4096]{0} all-gather(%z), dimensions={0}
+    """
+    s = collective_stats(text)
+    assert s["ops"] == {"all-reduce": 2, "all-gather": 1}
+    assert s["program_collective_bytes"] == (128 + 36 + 4096) * 4
