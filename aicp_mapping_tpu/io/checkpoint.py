@@ -95,6 +95,7 @@ def load_checkpoint(path: str, visualizer=None, classifier=None):
     cfg = PipelineConfig(**cfg_dict)
     app = App(cfg, visualizer=visualizer, classifier=classifier)
     app.total_correction = data["total_correction"]
+    app._total_dev = jnp.asarray(app.total_correction)
     app.aligned_map_np = data["aligned_map"]
     if "prior_map_points" in data:
         app.prior_map = Cloud(jnp.asarray(data["prior_map_points"]),

@@ -83,14 +83,31 @@ class App:
             self.classifier = RiskClassifier(threshold=config.risk_threshold)
             self.classifier.load(config.classifier_path)
 
-        # Accumulated total correction (initialT_, app.hpp/app.cpp:414)
+        # Accumulated total correction (initialT_, app.hpp/app.cpp:414).
+        # Host mirror + device twin: the device copy is chained through the
+        # fused step's new_total output so back-to-back dispatches never wait
+        # on a host round-trip; the host mirror is refreshed at finalize.
         self.total_correction = np.eye(4, dtype=np.float32)
+        self._total_dev = jnp.eye(4, dtype=jnp.float32)
         self.updates_counter = 0
         self.frames: list[FrameResult] = []
 
-        # Prior / built map (host-side append, device-side crop+filter)
+        # Streaming pipeline state (submit_cloud/flush): in-flight frames'
+        # dispatch outputs + host bookkeeping inputs, finalized in batches
+        # of cfg.pipeline_depth (one batched device_get per batch), and the
+        # dispatch-side view of the windowed reference counter (speculative;
+        # corrected at finalize on the rare reject / risk-forced divergence).
+        self._pending: list[dict] = []
+        self._since_ref_disp = 0
+
+        # Prior / built map (host-side append, device-side crop+filter).
+        # The built map accumulates DEVICE clouds and materializes to numpy
+        # lazily (each to_numpy is a host round-trip — don't pay it per
+        # reference update when nobody is looking at the map).
         self.prior_map: Optional[Cloud] = None
-        self.aligned_map_np: np.ndarray = np.zeros((0, 3), np.float32)
+        self._map_parts: list[np.ndarray] = []
+        self._map_pending: list[Cloud] = []
+        self._map_np: Optional[np.ndarray] = None
 
         # Current graph reference, device-resident:
         # (points, mask, normals) + its world pose. Normals ride along from
@@ -167,6 +184,26 @@ class App:
     # ------------------------------------------------------------------
     # public API (App::processCloud / filterCloud / runAicpPipeline analogs)
     # ------------------------------------------------------------------
+    @property
+    def aligned_map_np(self) -> np.ndarray:
+        """The accumulated aligned map, materialized on demand."""
+        if self._map_pending:
+            self._map_parts.extend(c.to_numpy() for c in self._map_pending)
+            self._map_pending.clear()
+            self._map_np = None
+        if self._map_np is None:
+            self._map_np = (np.concatenate(self._map_parts)
+                            if self._map_parts
+                            else np.zeros((0, 3), np.float32))
+        return self._map_np
+
+    @aligned_map_np.setter
+    def aligned_map_np(self, value) -> None:
+        value = np.asarray(value, np.float32).reshape(-1, 3)
+        self._map_parts = [value] if len(value) else []
+        self._map_pending = []
+        self._map_np = None
+
     def filter_cloud(self, cloud: Cloud, viewpoint) -> Cloud:
         pts, mask, _ = self._prefilter(cloud.points, cloud.mask,
                                        jnp.asarray(viewpoint, jnp.float32))
@@ -188,6 +225,7 @@ class App:
             np.asarray(pose_in_map, np.float32)
             @ np.linalg.inv(np.asarray(world_to_body, np.float32))
         ).astype(np.float32)
+        self._total_dev = jnp.asarray(self.total_correction)
 
     def go_back_to_map(self) -> None:
         """Go-back service analog (app_ros.cpp:324-357): snapshot built map as
@@ -196,9 +234,11 @@ class App:
                                           capacity=self.cfg.map_capacity)
         self.cfg.localize_against_prior_map = True
 
-    def _set_reference(self, reading: AlignedCloud):
+    def _set_reference(self, reading: AlignedCloud, pose_est: np.ndarray):
         """app.cpp:37-75. Returns (pts, mask, normals, pose, ref_id,
-        fixed_overlap).
+        fixed_overlap). `pose_est` is the host's best estimate of the
+        reading's corrected pose (exact in synchronous mode) — it steers
+        the map crop and the risk-feature reference pose only.
 
         Semantics: in prior-map localization every frame registers against
         the cropped prior map (octree overlap pinned at 50.0,
@@ -217,24 +257,53 @@ class App:
             else:
                 src = Cloud.from_numpy(self.aligned_map_np,
                                        capacity=self.cfg.map_capacity)
-            pose = np.asarray(reading.prior_pose, np.float32)
+            pose = np.asarray(pose_est, np.float32)
             pts, mask = self._crop_map(src.points, src.mask,
                                        jnp.asarray(pose))
             normals = self._icp_normals(pts, mask,
                                         jnp.asarray(pose[:3, 3]))
             fixed = 50.0 if cfg.localize_against_prior_map else -1.0
             return pts, mask, normals, pose, -1, fixed
+        # graph reference: id resolved at FINALIZE time (None sentinel) —
+        # under pipelining the graph's reference bookkeeping lags dispatch
+        # by one frame, and finalize is where it is authoritative.
         pts, mask, normals = self._ref_device
-        return (pts, mask, normals, self._ref_pose,
-                self.graph.current_reference_id, -1.0)
+        return pts, mask, normals, self._ref_pose, None, -1.0
 
     def process_cloud(self, cloud: AlignedCloud) -> Optional[FrameResult]:
+        """Synchronous per-frame entry point (App::processCloud): dispatch
+        the fused step and finalize it immediately — one sync per frame."""
+        first = self.submit_cloud(cloud)
+        res = self.flush()
+        if res:
+            return res[-1]
+        return first[-1] if first else None
+
+    def submit_cloud(self, cloud: AlignedCloud) -> list[FrameResult]:
+        """Streaming pipelined entry point: dispatch THIS frame's fused
+        step; once cfg.pipeline_depth frames are in flight, finalize them
+        all with ONE batched device round-trip and return their results (in
+        order; often an empty list). Earlier frames' device work runs while
+        the host prepares later ones, so the device queue never drains and
+        the per-frame host-sync cost is RTT / depth. Mirrors the reference's
+        asynchronous correction consumption (app_ros.cpp:68-149: pose output
+        never blocks on registration; a correction takes effect when it
+        lands).
+
+        Deviation from the synchronous path (documented, rare): a
+        risk-forced reference update or an accept-gate rejection is only
+        visible when its frame is finalized — up to pipeline_depth frames
+        after its dispatch — so the frames in between register against the
+        reference chosen speculatively (the windowed policy). The accept
+        gate on those frames bounds the damage, exactly as in the reference
+        where the worker thread lags the sensor stream.
+        """
         cfg = self.cfg
         t = self.timing
 
         # ---------------- first cloud bootstrap (app.cpp:286-316) ----------
         if (not cfg.localize_against_prior_map and not cfg.load_map_from_file
-                and self.graph.is_empty()):
+                and self.graph.is_empty() and not self._pending):
             fpts, fmask, fnormals = self._prefilter(
                 cloud.cloud.points, cloud.cloud.mask,
                 jnp.asarray(np.asarray(cloud.prior_pose)[:3, 3]))
@@ -258,45 +327,107 @@ class App:
                 corrected_pose=np.asarray(cloud.corrected_pose),
                 filtered_size=int(filtered.count()))
             self.frames.append(res)
-            return res
+            return [res]
 
-        t.tic()  # fullLoop
         self._frame_counter += 1
 
         # ---------------- input (app.cpp:327-351) --------------------------
-        (ref_pts, ref_mask, ref_normals, ref_pose, ref_id,
-         fixed_overlap) = self._set_reference(cloud)
-
-        read_pose = np.asarray(cloud.prior_pose, np.float32)
-        pre_T = np.eye(4, dtype=np.float32)
+        odom_pose = np.asarray(cloud.prior_pose, np.float32)
         if cfg.working_mode != "robot":
-            # debug mode: integrate accumulated correction into the reading
-            # (setAndFilterReading, app.cpp:86-96)
-            pre_T = self.total_correction
-            read_pose = pre_T @ read_pose
-            cloud.prior_pose = read_pose
-            cloud.corrected_pose = read_pose
+            # debug mode: the accumulated correction is integrated into the
+            # reading ON DEVICE (setAndFilterReading, app.cpp:86-96); this
+            # host-side estimate (exact when running synchronously, one
+            # frame stale when pipelined) only steers the map crop / risk
+            # reference pose.
+            pose_est = self.total_correction @ odom_pose
+        else:
+            pose_est = odom_pose
 
-        # ------------- the fused frame step: ONE dispatch, ONE sync --------
-        with t.section("frameStep"):
-            out = self._app_step(
-                cloud.cloud.points, cloud.cloud.mask, pre_T,
-                read_pose, ref_pts, ref_normals, ref_mask,
-                np.asarray(ref_pose, np.float32),
-                np.float32(fixed_overlap), *self._clf_params)
-            (correction, octree_overlap, fov, align, risk, n_iter, rms,
-             fsize) = jax.device_get(
-                (out.correction, out.overlap_percent, out.fov_overlap,
-                 out.alignability, out.risk, out.n_iterations,
-                 out.inlier_rms, out.filtered_count))
+        (ref_pts, ref_mask, ref_normals, ref_pose, ref_id,
+         fixed_overlap) = self._set_reference(cloud, pose_est)
+
+        # ------------- the fused frame step: ONE dispatch ------------------
+        out = self._app_step(
+            cloud.cloud.points, cloud.cloud.mask, odom_pose,
+            self._total_dev, ref_pts, ref_normals, ref_mask,
+            np.asarray(ref_pose, np.float32),
+            np.float32(fixed_overlap), *self._clf_params)
+        self._total_dev = out.new_total
+
+        # Speculative windowed reference update (dispatch-side view of
+        # app.cpp:382-391): the frame's aligned outputs are device arrays —
+        # adopting them as the next reference needs no sync. finalize()
+        # corrects this state if the frame turns out rejected / high-risk.
+        graph_mode = not cfg.localize_against_prior_map
+        saved_ref = (self._ref_device, self._ref_pose, self._since_ref_disp)
+        spec_update = False
+        if graph_mode and not cfg.localize_against_built_map:
+            self._since_ref_disp += 1
+            if (self._since_ref_disp % cfg.reference_update_frequency == 0
+                    or (cfg.load_map_from_file and self._ref_device is None)):
+                spec_update = True
+                self._ref_device = (out.aligned_points, out.filtered_mask,
+                                    out.aligned_normals)
+                self._ref_pose = pose_est  # refined at finalize
+                self._since_ref_disp = 0
+
+        self._pending.append(dict(cloud=cloud, out=out, ref_id=ref_id,
+                                  odom_pose=odom_pose, saved_ref=saved_ref,
+                                  spec_update=spec_update))
+        if len(self._pending) >= max(int(cfg.pipeline_depth), 1):
+            return self.flush()
+        return []
+
+    def flush(self) -> list[FrameResult]:
+        """Finalize ALL in-flight frames: one batched device round-trip for
+        the whole group's scalars, then per-frame host bookkeeping in
+        order."""
+        if not self._pending:
+            return []
+        pendings = self._pending
+        self._pending = []
+        with self.timing.section("frameStep"):
+            fetched = jax.device_get([
+                (o.correction, o.correction_raw, o.risk_ok, o.accepted,
+                 o.new_total, o.overlap_percent, o.fov_overlap,
+                 o.alignability, o.risk, o.n_iterations, o.inlier_rms,
+                 o.filtered_count)
+                for o in (p["out"] for p in pendings)])
+        return [self._finalize(p, f) for p, f in zip(pendings, fetched)]
+
+    def _finalize(self, pending: dict, fetched: tuple) -> FrameResult:
+        """Host-side tail of processCloud: consume the frame's (already
+        fetched) scalars, apply graph bookkeeping, publish outputs."""
+        cfg = self.cfg
+        t = self.timing
+        cloud: AlignedCloud = pending["cloud"]
+        out = pending["out"]
+        ref_id = pending["ref_id"]
+        if ref_id is None:  # graph reference: authoritative id lives here
+            ref_id = self.graph.current_reference_id
+
+        (correction, corr_raw, risk_ok_j, accepted_j, new_total,
+         octree_overlap, fov, align, risk, n_iter, rms, fsize) = fetched
+        t.tic()  # fullLoop: host bookkeeping tail
         correction = np.asarray(correction)
         octree_overlap = float(octree_overlap)
         fov = float(fov)
         align = float(align)
         risk = float(risk)
-        n_iter = int(n_iter)
-        rms = float(rms)
+        risk_ok = bool(risk_ok_j)
+        accepted = bool(accepted_j)
+        n_iter = int(n_iter) if risk_ok else 0
+        rms = float(rms) if risk_ok else 0.0
         fsize = int(fsize)
+        registered = risk_ok
+
+        if cfg.working_mode != "robot":
+            # host mirror of the device-side debug pre-transform: the prior
+            # pose absorbs the total correction accumulated BEFORE this
+            # frame (setAndFilterReading, app.cpp:86-96)
+            read_pose = self.total_correction @ pending["odom_pose"]
+            cloud.prior_pose = read_pose
+            cloud.corrected_pose = read_pose
 
         read_f = Cloud(out.filtered_points, out.filtered_mask)
         if cfg.debug_dir:
@@ -308,40 +439,36 @@ class App:
             self.vis.publish_metric("alignment_risk", risk, cloud.utime)
         self.vis.publish_metric("octree_overlap", octree_overlap, cloud.utime)
 
-        # ---------------- risk gate (app.cpp:243-245) ----------------------
-        risk_ok = (not cfg.failure_prediction_mode) or (risk <= cfg.risk_threshold)
-        registered = risk_ok
-        if not risk_ok:
-            # ICP ran on-device, but its result is discarded: the robot
-            # trusts odometry for one step (app.cpp:401-411).
-            correction = np.eye(4, dtype=np.float32)
-            n_iter = 0
-            rms = 0.0
-
         # ---------------- accept gate + graph update (app.cpp:361-412) -----
-        accepted = True
-        if risk_ok:
-            if (np.any(np.abs(correction[:3, 3]) > cfg.max_correction_magnitude)
-                    and self.graph.n_clouds != 0):
-                # WRONG ALIGNMENT: DROPPED POINT CLOUD (app.cpp:366-373)
-                accepted = False
-                t.toc("fullLoop")
-                res = FrameResult(
-                    utime=cloud.utime, reference_id=ref_id,
-                    reading_id=self.graph.n_clouds,
-                    octree_overlap=octree_overlap, fov_overlap=fov,
-                    alignability=align, risk=risk, correction=correction,
-                    accepted=False, registered=registered,
-                    n_iterations=n_iter, inlier_rms=rms,
-                    corrected_pose=np.asarray(cloud.corrected_pose),
-                    filtered_size=fsize)
-                self.frames.append(res)
-                return res
+        if not accepted:
+            # WRONG ALIGNMENT: DROPPED POINT CLOUD (app.cpp:366-373).
+            # Roll back the speculative reference state. (_total_dev needs
+            # no rollback: the device chained new_total = I @ prev_total
+            # for a rejected frame.)
+            (self._ref_device, self._ref_pose,
+             self._since_ref_disp) = pending["saved_ref"]
+            t.toc("fullLoop")
+            res = FrameResult(
+                utime=cloud.utime, reference_id=ref_id,
+                reading_id=self.graph.n_clouds,
+                octree_overlap=octree_overlap, fov_overlap=fov,
+                alignability=align, risk=risk,
+                correction=np.asarray(corr_raw),
+                accepted=False, registered=registered,
+                n_iterations=n_iter, inlier_rms=rms,
+                corrected_pose=np.asarray(cloud.corrected_pose),
+                filtered_size=fsize)
+            self.frames.append(res)
+            return res
 
+        if risk_ok:
             aligned = Cloud(out.aligned_points, out.filtered_mask)
             if cfg.debug_dir:
                 self._dump_debug_cloud(aligned, "aligned")
-            cloud.update(aligned, jnp.asarray(correction),
+            # correction stays host numpy: re-wrapping it as a device array
+            # would force cloud.update's pose math into a ~25 ms fetch on a
+            # tunneled chip
+            cloud.update(aligned, correction,
                          is_reference=False,
                          its_reference_id=self.graph.current_reference_id)
             self.graph.add(cloud)
@@ -356,6 +483,7 @@ class App:
                 self._ref_device = (out.aligned_points, out.filtered_mask,
                                     out.aligned_normals)
                 self._ref_pose = np.asarray(cloud.corrected_pose)
+                self._since_ref_disp = 0
             elif (cfg.load_map_from_file
                   and not cfg.localize_against_prior_map
                   and self.graph.n_clouds == 1):
@@ -365,6 +493,7 @@ class App:
                 self._ref_device = (out.aligned_points, out.filtered_mask,
                                     out.aligned_normals)
                 self._ref_pose = np.asarray(cloud.corrected_pose)
+                self._since_ref_disp = 0
         else:
             # High risk: trust the prior for one step, force reference update
             # (app.cpp:401-411)
@@ -376,9 +505,10 @@ class App:
             self._ref_device = (out.filtered_points, out.filtered_mask,
                                 out.filtered_normals)
             self._ref_pose = np.asarray(cloud.corrected_pose)
+            self._since_ref_disp = 0
 
         # ---------------- compose + outputs (app.cpp:414-505) ---------------
-        self.total_correction = correction @ self.total_correction
+        self.total_correction = np.asarray(new_total)
 
         last = self.graph.last()
         path = self.vis.get_path()
@@ -396,11 +526,16 @@ class App:
             self.vis.publish_odom_to_map(odom_to_map, cloud.utime)
 
         if last.is_reference and accepted:
-            ref_np = last.cloud.to_numpy()
-            self.vis.publish_cloud(ref_np, 0, "", cloud.utime)
-            self.aligned_map_np = np.concatenate(
-                [self.aligned_map_np, ref_np])
-            self.vis.publish_map(self.aligned_map_np, cloud.utime, 1)
+            # map append is LAZY: the new reference stays a device cloud
+            # until someone reads aligned_map_np — a to_numpy here would be
+            # a host round-trip per reference update. A real visualizer
+            # needs the bytes anyway, so only then are they fetched.
+            self._map_pending.append(last.cloud)
+            self._map_np = None
+            if not isinstance(self.vis, NullVisualizer):
+                self.vis.publish_cloud(last.cloud.to_numpy(), 0, "",
+                                       cloud.utime)
+                self.vis.publish_map(self.aligned_map_np, cloud.utime, 1)
         elif (cfg.localize_against_prior_map
               and (self.graph.n_clouds - 1) % cfg.reference_update_frequency == 0):
             self.vis.publish_pose(np.asarray(last.corrected_pose), 0, "",
@@ -450,6 +585,7 @@ class App:
         test downstream integration (SURVEY.md §5.3)."""
         self.total_correction = (
             np.asarray(correction, np.float32) @ self.total_correction)
+        self._total_dev = jnp.asarray(self.total_correction)
 
     # Corrected-pose output path (robotPoseCallBack analog,
     # app_ros.cpp:68-149): compose live odometry with the latest total

@@ -64,6 +64,16 @@ class PipelineConfig:
     segmentation_method: str = "hough"
     normal_radius: float = 0.4             # hough-method moments radius
 
+    # Streaming pipeline depth for App.submit_cloud: how many frames may be
+    # in flight before a (batched) finalize. 1 = each frame's host sync
+    # overlaps the next frame's compute; K>1 additionally amortizes the
+    # host round-trip over K frames (one batched device_get per K frames —
+    # decisive on a remote-tunneled chip where every sync has a ~25 ms
+    # floor). Gates/graph bookkeeping lag up to K frames, the same latency
+    # model as the reference's worker thread vs its sensor stream
+    # (app_ros.cpp:68-149). process_cloud always runs depth-0 (synchronous).
+    pipeline_depth: int = 4
+
     # --- ICP chain (icp_autotuned.yaml) ---
     icp: ICPConfig = dataclasses.field(default_factory=ICPConfig)
     icp_normal_k: int = 20                 # SurfaceNormalDataPointsFilter knn

@@ -90,7 +90,13 @@ def make_frame_step(cfg: PipelineConfig):
 class AppFrameOutput:
     """Everything App::processCloud needs from one device dispatch."""
 
-    correction: jax.Array       # (4, 4)
+    correction: jax.Array       # (4, 4) GATED: identity when risk/accept fail
+    correction_raw: jax.Array   # (4, 4) the ICP solution before gating
+    risk_ok: jax.Array          # bool: risk gate passed (app.cpp:243-245)
+    accepted: jax.Array         # bool: accept gate passed (app.cpp:366-373)
+    new_total: jax.Array        # (4, 4) correction @ prev_total — the total
+    #                             correction chain, composed on device so the
+    #                             next frame can dispatch without a host sync
     overlap_percent: jax.Array  # scalar (or the fixed override)
     fov_overlap: jax.Array      # scalar (-1 when risk stage is off)
     alignability: jax.Array     # scalar (-1 when risk stage is off)
@@ -103,7 +109,7 @@ class AppFrameOutput:
     filtered_mask: jax.Array    # (F,)
     filtered_normals: jax.Array  # (F, 3) viewpoint-oriented prefilter normals
     filtered_count: jax.Array   # scalar int32
-    aligned_points: jax.Array   # (F, 3) correction @ filtered (graph storage)
+    aligned_points: jax.Array   # (F, 3) gated-correction @ filtered
     aligned_normals: jax.Array  # (F, 3) rotated normals (next reference)
 
 
@@ -112,29 +118,45 @@ def make_app_frame_step(cfg: PipelineConfig, with_risk: bool,
     """The App's whole per-frame hot block as ONE jit (app.cpp:218-247 is one
     unit in the reference too): debug pre-transform -> prefilter -> occupancy
     overlap -> [FOV overlap -> alignability -> classifier] -> auto-tune ->
-    trimmed point-to-plane ICP -> aligned outputs.
+    trimmed point-to-plane ICP -> gates -> total-correction chaining ->
+    aligned outputs.
 
-    Host code performs exactly one device sync per frame on the scalar
-    outputs; the risk gate and accept gate are host decisions over those
-    scalars (risk-gated frames simply discard the computed correction — on
-    TPU computing ICP unconditionally is cheaper than a mid-frame sync).
+    The risk gate (app.cpp:243-245), the accept gate (app.cpp:366-373) and
+    the total-correction composition (initialT_, app.cpp:414) all run ON
+    DEVICE: computing ICP unconditionally and discarding its result is
+    cheaper than a mid-frame sync, and chaining `new_total` on device means
+    the NEXT frame's dispatch needs no host round-trip at all — the host can
+    consume a frame's scalars one frame late (App.submit_cloud), exactly how
+    the reference consumes corrections asynchronously (app_ros.cpp:68-149
+    publishes poses without ever blocking on registration).
 
     Signature:
-      (raw_points, raw_mask, pre_T, read_pose, ref_points, ref_normals,
+      (raw_points, raw_mask, odom_pose, prev_total, ref_points, ref_normals,
        ref_mask, ref_pose, fixed_overlap, clf_w, clf_b, clf_mean, clf_std)
       -> AppFrameOutput
 
-    fixed_overlap >= 0 overrides the computed overlap (prior-map mode pins
-    it at 50.0, app.cpp:123-127). pre_T integrates the accumulated total
-    correction into the reading in debug working mode (app.cpp:86-96);
-    identity in robot mode.
+    odom_pose is the reading's raw prior (state-estimator) pose; in debug
+    working mode the accumulated correction `prev_total` is integrated into
+    the reading on device (setAndFilterReading, app.cpp:86-96). fixed_overlap
+    >= 0 overrides the computed overlap (prior-map mode pins it at 50.0,
+    app.cpp:123-127).
     """
+    debug_mode = cfg.working_mode != "robot"
+    risk_threshold = float(cfg.risk_threshold)
+    max_corr = float(cfg.max_correction_magnitude)
+    eye4 = jnp.eye(4, dtype=jnp.float32)
 
     @jax.jit
-    def app_step(raw_points, raw_mask, pre_T, read_pose,
+    def app_step(raw_points, raw_mask, odom_pose, prev_total,
                  ref_points, ref_normals, ref_mask, ref_pose,
                  fixed_overlap, clf_w, clf_b, clf_mean, clf_std):
-        pts = se3.transform_points(pre_T, raw_points)
+        if debug_mode:
+            pre_T = prev_total
+            read_pose = prev_total @ odom_pose
+            pts = se3.transform_points(pre_T, raw_points)
+        else:
+            read_pose = odom_pose
+            pts = raw_points
         viewpoint = read_pose[:3, 3]
 
         # Pre-filter: voxel + planes-only (filteringUtils.cpp:5-45)
@@ -187,14 +209,30 @@ def make_app_frame_step(cfg: PipelineConfig, with_risk: bool,
         res = point_to_plane_icp(fpts, fmask, ref_points, ref_normals,
                                  ref_mask, se3.identity(), ratio, cfg.icp)
 
+        # Gates, on device. Risk gate: discard the correction, trust
+        # odometry for one step (app.cpp:243-245, 401-411). Accept gate:
+        # any axis of the correction translation over the magnitude cap
+        # means WRONG ALIGNMENT -> frame dropped (app.cpp:366-373).
+        risk_ok = (jnp.bool_(True) if not with_risk
+                   else risk <= jnp.float32(risk_threshold))
+        corr_g = jnp.where(risk_ok, res.T, eye4)
+        accepted = jnp.all(jnp.abs(corr_g[:3, 3]) <= jnp.float32(max_corr))
+        corr_f = jnp.where(accepted, corr_g, eye4)
+
         # Aligned reading + rotated normals: graph storage and, on windowed
         # reference updates, the next frames' reference — computed here so a
-        # reference update costs no extra dispatch or normals pass.
-        aligned_pts = se3.transform_points(res.T, fpts)
-        aligned_nrm = se3.rotate_vectors(res.T, fnormals)
+        # reference update costs no extra dispatch or normals pass. Uses the
+        # GATED correction, so a risk-gated frame's "aligned" cloud is its
+        # filtered cloud (the forced-reference-update semantics).
+        aligned_pts = se3.transform_points(corr_f, fpts)
+        aligned_nrm = se3.rotate_vectors(corr_f, fnormals)
 
         return AppFrameOutput(
-            correction=res.T,
+            correction=corr_f,
+            correction_raw=res.T,
+            risk_ok=risk_ok,
+            accepted=accepted,
+            new_total=corr_f @ prev_total,
             overlap_percent=overlap,
             fov_overlap=fov,
             alignability=align,

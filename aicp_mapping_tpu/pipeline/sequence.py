@@ -23,9 +23,21 @@ from .app import App, FrameResult
 
 
 class SequenceRunner:
-    def __init__(self, app: App, raw_capacity: Optional[int] = None):
+    """`pipelined=True` drives App.submit_cloud instead of process_cloud:
+    each frame's host sync overlaps the next frame's device compute
+    (depth-1 pipeline, the reference's async-worker semantics). Results come
+    out in order either way."""
+
+    def __init__(self, app: App, raw_capacity: Optional[int] = None,
+                 pipelined: bool = False):
         self.app = app
         self.raw_capacity = raw_capacity or app.cfg.raw_capacity
+        self.pipelined = pipelined
+
+    def _drive(self, ac: AlignedCloud) -> list[FrameResult]:
+        if not self.pipelined:
+            return [self.app.process_cloud(ac)]
+        return self.app.submit_cloud(ac)
 
     def run_directory(self, directory: str,
                       prefetch_threads: int = 4) -> list[FrameResult]:
@@ -50,9 +62,10 @@ class SequenceRunner:
                 mask[:count] = True
                 cloud = Cloud.from_numpy_padded(padded, mask)
                 ac = AlignedCloud.create(p.utime, cloud, p.pose)
-                results.append(self.app.process_cloud(ac))
+                results.extend(self._drive(ac))
         finally:
             pf.close()
+        results.extend(self.app.flush())
         return results
 
     def run_clouds(self, items: Iterable[tuple[int, np.ndarray, np.ndarray]]
@@ -73,7 +86,8 @@ class SequenceRunner:
                 next_cloud = Cloud.from_numpy(items[i + 1][1],
                                               capacity=self.raw_capacity)
             ac = AlignedCloud.create(utime, cloud, np.asarray(pose, np.float32))
-            results.append(self.app.process_cloud(ac))
+            results.extend(self._drive(ac))
+        results.extend(self.app.flush())
         return results
 
 

@@ -57,8 +57,15 @@ class StreamingDriver:
         pose_callback: Optional[Callable[[int, np.ndarray], None]] = None,
         result_callback: Optional[Callable[[FrameResult], None]] = None,
         recorder=None,
+        pipelined: bool = False,
     ):
+        """pipelined=True: the worker drives App.submit_cloud so a frame's
+        host sync overlaps the next frame's device compute while the queue
+        is non-empty; the in-flight frame is flushed when the queue drains.
+        Corrections then land one frame later — the same latency model as
+        the reference's worker thread vs sensor stream."""
         self.app = app
+        self.pipelined = pipelined
         self.accu = ScanAccumulator(capacity=accumulator_capacity,
                                     batch_size=batch_size,
                                     min_range=min_range, max_range=max_range)
@@ -187,13 +194,25 @@ class StreamingDriver:
                         break
                     cloud = self._queue.popleft()
                 self._process(cloud)
+            if self.pipelined:
+                # queue drained: finalize the in-flight frames
+                for r in self.app.flush():
+                    self._emit(r)
 
     def _process(self, cloud: AlignedCloud) -> None:
-        before = self.app.total_correction
-        result = self.app.process_cloud(cloud)
+        if self.pipelined:
+            for r in self.app.submit_cloud(cloud):
+                self._emit(r)
+        else:
+            self._emit(self.app.process_cloud(cloud))
+
+    def _emit(self, result: Optional[FrameResult]) -> None:
+        if result is None:
+            return
         self.n_processed += 1
-        if not np.array_equal(self.app.total_correction, before):
+        if result.accepted and not np.allclose(result.correction, np.eye(4),
+                                               atol=1e-9):
             with self._state_mutex:
                 self._updated_correction = True
-        if result is not None and self.result_callback is not None:
+        if self.result_callback is not None:
             self.result_callback(result)

@@ -95,23 +95,25 @@ def bench_fused(cfg, items):
 
 
 def bench_app(cfg, items, breakdown=False):
-    """Full App.process_cloud throughput + synced per-frame latency."""
+    """Full App throughput (depth-1 pipelined submit_cloud — the shipped
+    streaming path), synced per-frame latency (process_cloud), and a
+    device-staged pipelined rate (clouds pre-uploaded, apples-to-apples
+    with the fused-step number, which also excludes H2D)."""
     import dataclasses
 
+    from aicp_mapping_tpu.cloud import AlignedCloud, Cloud
     from aicp_mapping_tpu.pipeline.app import App
     from aicp_mapping_tpu.pipeline.sequence import SequenceRunner
 
     def run_once():
         app = App(dataclasses.replace(cfg))
-        runner = SequenceRunner(app)
+        runner = SequenceRunner(app, pipelined=True)
         # warmup/compile on the first two frames
         runner.run_clouds(items[:2])
         t0 = time.perf_counter()
         runner.run_clouds(items[2:])
         total = time.perf_counter() - t0
-        # synced per-frame latency (no upload lookahead)
-        from aicp_mapping_tpu.cloud import AlignedCloud, Cloud
-
+        # synced per-frame latency (process_cloud, includes upload + sync)
         lat = []
         for utime, pts, pose in items[2:10]:
             f0 = time.perf_counter()
@@ -119,14 +121,24 @@ def bench_app(cfg, items, breakdown=False):
             ac = AlignedCloud.create(utime, cloud, np.asarray(pose, np.float32))
             app.process_cloud(ac)
             lat.append(time.perf_counter() - f0)
-        return len(items) - 2, total, lat, app
+        # staged: same pipelined drive, clouds already device-resident
+        staged = [
+            (utime, Cloud.from_numpy(pts, capacity=cfg.raw_capacity),
+             np.asarray(pose, np.float32))
+            for utime, pts, pose in items[2:]]
+        t0 = time.perf_counter()
+        for utime, cloud, pose in staged:
+            app.submit_cloud(AlignedCloud.create(utime, cloud, pose))
+        app.flush()
+        t_staged = time.perf_counter() - t0
+        return len(items) - 2, total, lat, len(staged) / t_staged, app
 
-    n, total, lat, app = run_once()
-    n2, total2, lat2, _ = run_once()
+    n, total, lat, staged1, app = run_once()
+    n2, total2, lat2, staged2, _ = run_once()
     rate = max(n / total, n2 / total2)
     lat_ms = float(np.median(lat + lat2) * 1e3)
     stages = app.timing.summary() if breakdown else {}
-    return rate, lat_ms, stages
+    return rate, lat_ms, max(staged1, staged2), stages
 
 
 def main() -> None:
@@ -142,12 +154,15 @@ def main() -> None:
         raw_capacity=65536,
         downsample_capacity=16384,
         filtered_capacity=8192,
+        # streaming operating point: amortize the per-sync round-trip
+        # (~25 ms on a tunneled chip) over 8 in-flight frames
+        pipeline_depth=8,
     )
     items = make_inputs(cfg, n_frames=args.frames)
 
     fused_rate = bench_fused(cfg, items)
-    app_rate, app_latency_ms, stages = bench_app(cfg, items,
-                                                 breakdown=args.breakdown)
+    app_rate, app_latency_ms, staged_rate, stages = bench_app(
+        cfg, items, breakdown=args.breakdown)
 
     record = {
         "metric": "aicp_app_pipeline_throughput",
@@ -156,10 +171,12 @@ def main() -> None:
         "vs_baseline": round(app_rate / BASELINE_SCANS_PER_SEC, 3),
         "fused_step_scans_per_sec": round(fused_rate, 3),
         "app_scans_per_sec": round(app_rate, 3),
+        "app_staged_scans_per_sec": round(staged_rate, 3),
         "app_frame_latency_ms": round(app_latency_ms, 3),
     }
     if args.breakdown:
-        record["stage_seconds"] = {k: round(v, 4) for k, v in stages.items()}
+        record["stage_ms"] = {k: round(v["mean_ms"], 3)
+                              for k, v in stages.items()}
     print(json.dumps(record))
 
 

@@ -167,3 +167,25 @@ AICP: {
     assert cfg.load_poses_from == "pcd"
     assert cfg.octree_resolution == 0.25
     assert cfg.risk_threshold == 0.65
+
+
+def test_pipelined_matches_synchronous(seq):
+    """App.submit_cloud (depth-1 pipeline: dispatch frame i+1 before
+    finalizing frame i) must produce the SAME results as process_cloud on a
+    nominal sequence — the speculative reference/total chaining is exact
+    when every frame is accepted."""
+    items, _ = seq
+    frames_sync = SequenceRunner(App(small_config())).run_clouds(items)
+    frames_pipe = SequenceRunner(App(small_config()),
+                                 pipelined=True).run_clouds(items)
+    assert len(frames_sync) == len(frames_pipe)
+    for a, b in zip(frames_sync, frames_pipe):
+        assert a.utime == b.utime
+        assert a.accepted == b.accepted
+        assert a.registered == b.registered
+        assert a.reference_id == b.reference_id
+        np.testing.assert_allclose(a.correction, b.correction,
+                                   atol=1e-6, rtol=0)
+        np.testing.assert_allclose(a.corrected_pose, b.corrected_pose,
+                                   atol=1e-6, rtol=0)
+        assert abs(a.octree_overlap - b.octree_overlap) < 1e-4
