@@ -18,6 +18,9 @@ oxts-to-kitti  KITTI trajectory from raw GPS (aicp_lcm/src/tools/
 accumulate     scan accumulation to one cloud (aicp_lcm/examples/
                planar_laser_accumulate.cpp)
 vtk-to-octree  VTK -> occupancy cells (aicp_lcm/examples/vtk_to_octree.cpp)
+slam           NEW: front-end + loop closures + pose-graph optimization +
+               plane BA -> consistent map (the back-end the reference
+               sketched in computeLoopClosureFromOverlap but never wired)
 """
 from __future__ import annotations
 
@@ -210,7 +213,14 @@ def _cmd_replay(args) -> int:
     from .io.poses import write_kitti_poses
 
     cfg = (load_yaml_config(args.config) if args.config else PipelineConfig())
-    app = App(cfg)
+    vis = None
+    if args.live_viz is not None:
+        from .utils.live_viz import LiveVisualizer
+
+        vis = LiveVisualizer(port=args.live_viz)
+        print(f"live viz streaming on {vis.address[0]}:{vis.address[1]}",
+              file=sys.stderr)
+    app = App(cfg, visualizer=vis)
     results = SequenceRunner(app).run_directory(args.directory)
     ok = [r for r in results if r is not None]
     print(json.dumps({
@@ -373,6 +383,81 @@ def _cmd_accumulate(args) -> int:
     return 0
 
 
+def _cmd_slam(args) -> int:
+    """End-to-end SLAM: AICP front-end -> overlap-gated loop closures ->
+    pose-graph optimization (optionally edge-sharded over a device mesh)
+    -> plane-landmark BA -> consistent map. The back-end the reference
+    sketched but never wired in (computeLoopClosureFromOverlap,
+    octrees_overlap.cpp:75-111)."""
+    from .eval.kitti import ate_rmse
+    from .io.pcd import write_pcd
+    from .io.poses import write_kitti_poses
+    from .pipeline.app import App
+    from .pipeline.config import PipelineConfig, load_yaml_config
+    from .pipeline.mapper import PoseGraphMapper
+    from .pipeline.sequence import SequenceRunner, synthetic_sequence
+
+    if args.config:
+        cfg = load_yaml_config(args.config)
+    elif args.directory:
+        cfg = PipelineConfig()
+    else:
+        # synthetic demo loop: compact capacities, keyframe every 2 frames
+        cfg = PipelineConfig(
+            working_mode="debug", raw_capacity=8192,
+            downsample_capacity=4096, filtered_capacity=2048,
+            map_capacity=16384, min_cluster_size=30,
+            reference_update_frequency=2)
+    app = App(cfg)
+    runner = SequenceRunner(app, pipelined=args.pipelined)
+    gt = None
+    if args.directory:
+        results = runner.run_directory(args.directory)
+    else:
+        items, gt = synthetic_sequence(
+            n_frames=args.synthetic, n_points=6000, seed=args.seed,
+            yaw_rate_deg=360.0 / max(args.synthetic, 1), step=1.0)
+        results = runner.run_clouds(items)
+
+    mesh = None
+    if args.mesh_devices > 1:
+        from .parallel import make_mesh
+
+        mesh = make_mesh(args.mesh_devices, axis="graph")
+    mapper = PoseGraphMapper(
+        app, mesh=mesh, min_loop_overlap=args.min_loop_overlap,
+        min_keyframe_gap=args.min_keyframe_gap,
+        max_loop_distance=args.max_loop_distance)
+
+    kfs_pre = mapper.keyframes()
+    pre_poses = np.stack([k.pose for k in kfs_pre]) if kfs_pre else None
+    lcs = mapper.propose_loop_closures()
+    kfs = mapper.optimize(gn_iters=args.gn_iters)
+    if args.plane_ba:
+        kfs = mapper.run_plane_ba(gn_iters=args.ba_iters)
+
+    summary = {
+        "frames": len(results),
+        "accepted": sum(1 for r in results if r and r.accepted),
+        "keyframes": len(kfs),
+        "loop_closures": [
+            {"i": lc.i, "j": lc.j, "overlap": round(lc.overlap, 2),
+             "inlier_rms": round(lc.inlier_rms, 4)} for lc in lcs],
+    }
+    if gt is not None and kfs:
+        gt_k = np.stack([gt[min(k.index, len(gt) - 1)] for k in kfs])
+        summary["ate_pre_m"] = round(ate_rmse(gt_k, pre_poses), 4)
+        summary["ate_post_m"] = round(
+            ate_rmse(gt_k, np.stack([k.pose for k in kfs])), 4)
+    print(json.dumps(summary, indent=2))
+    if args.output_map:
+        write_pcd(args.output_map, app.aligned_map_np)
+    if args.output_poses and kfs:
+        write_kitti_poses(args.output_poses,
+                          np.stack([k.pose for k in kfs]))
+    return 0
+
+
 def _cmd_vtk_to_octree(args) -> int:
     """VTK cloud -> occupancy-voxel cloud (aicp_lcm/examples/
     vtk_to_octree.cpp analog: the octree is the rebuild's voxel-hash
@@ -435,6 +520,9 @@ def build_parser() -> argparse.ArgumentParser:
     rp.add_argument("directory")
     rp.add_argument("--config", help="AICP YAML config")
     rp.add_argument("--output-poses", help="write KITTI-format trajectory")
+    rp.add_argument("--live-viz", type=int, default=None, metavar="PORT",
+                    help="stream clouds/poses/metrics to TCP viewers "
+                         "(0 = ephemeral port; utils.live_viz protocol)")
     rp.set_defaults(func=_cmd_replay)
 
     kr = sub.add_parser("kitti-run",
@@ -507,6 +595,29 @@ def build_parser() -> argparse.ArgumentParser:
     cc.add_argument("--voxel", type=float, default=0.0,
                     help="optional voxel downsample of the result")
     cc.set_defaults(func=_cmd_concat)
+
+    sl = sub.add_parser(
+        "slam", help="end-to-end SLAM: front-end + loop closures + PGO + BA")
+    sl.add_argument("directory", nargs="?",
+                    help="recorded sequence dir; omit for a synthetic loop")
+    sl.add_argument("--synthetic", type=int, default=12,
+                    help="synthetic loop length when no directory given")
+    sl.add_argument("--seed", type=int, default=2)
+    sl.add_argument("--config", help="AICP YAML config")
+    sl.add_argument("--pipelined", action="store_true",
+                    help="drive the front-end through the streaming pipeline")
+    sl.add_argument("--mesh-devices", type=int, default=1,
+                    help=">1: edge-shard the PGO over a device mesh")
+    sl.add_argument("--min-loop-overlap", type=float, default=30.0)
+    sl.add_argument("--min-keyframe-gap", type=int, default=2)
+    sl.add_argument("--max-loop-distance", type=float, default=15.0)
+    sl.add_argument("--gn-iters", type=int, default=8)
+    sl.add_argument("--plane-ba", action="store_true",
+                    help="refine with plane-landmark bundle adjustment")
+    sl.add_argument("--ba-iters", type=int, default=4)
+    sl.add_argument("--output-map", help="write the final map PCD")
+    sl.add_argument("--output-poses", help="write keyframe poses (KITTI)")
+    sl.set_defaults(func=_cmd_slam)
     return p
 
 

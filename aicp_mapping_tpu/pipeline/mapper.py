@@ -193,8 +193,7 @@ class PoseGraphMapper:
             moved = kf.cloud.transform(jnp.asarray(delta.astype(np.float32)))
             cloud_rec = self.app.graph.clouds[kf.index]
             cloud_rec.cloud = moved
-            cloud_rec.corrected_pose = jnp.asarray(
-                opt_np[k].astype(np.float32))
+            cloud_rec.corrected_pose = opt_np[k].astype(np.float32)
             kf.pose = opt_np[k]
             kf.cloud = moved
             new_map.append(moved.to_numpy())
