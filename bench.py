@@ -145,6 +145,9 @@ def main() -> None:
     parser = argparse.ArgumentParser()
     parser.add_argument("--breakdown", action="store_true",
                         help="add per-stage wall-clock to the JSON line")
+    parser.add_argument("--trace", metavar="LOGDIR",
+                        help="capture a jax.profiler trace of the fused "
+                             "steady-state loop into LOGDIR")
     parser.add_argument("--frames", type=int, default=28)
     args = parser.parse_args()
 
@@ -160,7 +163,13 @@ def main() -> None:
     )
     items = make_inputs(cfg, n_frames=args.frames)
 
-    fused_rate = bench_fused(cfg, items)
+    if args.trace:
+        from aicp_mapping_tpu.utils.timing import profiler_trace
+
+        with profiler_trace(args.trace):
+            fused_rate = bench_fused(cfg, items)
+    else:
+        fused_rate = bench_fused(cfg, items)
     app_rate, app_latency_ms, staged_rate, stages = bench_app(
         cfg, items, breakdown=args.breakdown)
 
