@@ -33,9 +33,19 @@ def run_kitti_sequence(
     remove_ground: bool = False,
     prefetch_threads: int = 4,
     frame_stride: int = 1,
+    priors: Optional[np.ndarray] = None,
 ) -> tuple[np.ndarray, list[FrameResult], App]:
     """Returns (trajectory (F, 4, 4) KITTI-convention poses, frame results,
-    the App)."""
+    the App).
+
+    priors: optional (F, 4, 4) prior trajectory (GPS / wheel odometry) —
+    the reference's KITTI flow consumed raw-GPS priors this way
+    (kitti_trajectory_from_raw_gps.cpp); each frame's prior pose is the
+    corrected chain composed with the prior trajectory's RELATIVE motion.
+    Without priors a constant-velocity model is used — adequate on
+    feature-rich scenes, but note frame-to-reference ICP cannot bootstrap
+    forward motion in corridor-degenerate street scenes from a standstill
+    prior (the same reason the reference requires a state estimator)."""
     cfg = config or PipelineConfig(
         raw_capacity=131072, downsample_capacity=32768,
         filtered_capacity=16384, sensor_range=80.0,
@@ -77,7 +87,11 @@ def run_kitti_sequence(
             res = app.process_cloud(ac)
             results.append(res)
             pose = np.asarray(res.corrected_pose) if res is not None else prior
-            if trajectory:
+            if priors is not None and idx + 1 < len(priors):
+                rel = (np.linalg.inv(np.asarray(priors[idx]))
+                       @ np.asarray(priors[idx + 1]))
+                velocity = rel.astype(np.float32)
+            elif trajectory:
                 velocity = np.linalg.inv(trajectory[-1]) @ pose
             trajectory.append(pose)
             prior = (pose @ velocity).astype(np.float32)

@@ -77,6 +77,20 @@ class ICPConfig:
     # ratio in Besl92_pt2point.yaml / icp_3D_cfg_trimmed.yaml); 0 means the
     # caller supplies the per-frame auto-tuned ratio (app.cpp:198-205).
     trim_ratio: float = 0.0
+    # Degeneracy-aware solve (solution remapping, Zhang & Singh RA-L'16;
+    # the live upgrade of the reference's disabled
+    # registrationFailurePredictionFilter, filteringUtils.cpp:580-617):
+    # eigendecompose the 6x6 normal equations each iteration and ZERO the
+    # update components along eigendirections with eigenvalue below this
+    # ABSOLUTE floor — in corridor/tunnel scenes the unconstrained
+    # direction then stays at the motion prior instead of sliding to a
+    # false optimum. The floor is absolute (not relative to the max
+    # eigenvalue) because rotation eigenvalues scale with range^2 and
+    # would mask weak-but-real translation constraints; with unit plane
+    # normals a translation eigenvalue roughly equals the number of
+    # inlier points constraining that direction, so ~30 means "require
+    # 30 points". 0 disables (plain damped solve).
+    degeneracy_threshold: float = 0.0
     # SPMD: set to the shard_map mesh axis name when the READING points are
     # sharded along the point axis (reference replicated). All global
     # reductions — trim-quantile histograms, the 6x6 normal equations, the
@@ -256,7 +270,15 @@ def point_to_plane_icp(
         else:
             raise ValueError(f"unknown error_metric {config.error_metric!r}")
         lam = config.damping * jnp.trace(A) / 6.0 + 1e-12
-        delta = jnp.linalg.solve(A + lam * jnp.eye(6, dtype=A.dtype), b)
+        if config.degeneracy_threshold > 0.0:
+            # solution remapping: solve in the eigenbasis and suppress
+            # update components along near-null eigendirections
+            evals, evecs = jnp.linalg.eigh(A)
+            keep = evals > config.degeneracy_threshold
+            coeff = (evecs.T @ b) / (evals + lam)
+            delta = evecs @ jnp.where(keep, coeff, 0.0)
+        else:
+            delta = jnp.linalg.solve(A + lam * jnp.eye(6, dtype=A.dtype), b)
         return delta, A, dist2, w, r
 
     def cond(state):
