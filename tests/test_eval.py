@@ -220,8 +220,15 @@ def test_kitti_runner_urban_vehicle_speed(tmp_path):
     # updates along Hessian directions backed by < ~30 points so the
     # prior's motion survives there (solution remapping)
     cfg.icp = dataclasses.replace(cfg.icp, degeneracy_threshold=30.0)
+    # ground removal, as in the reference's KITTI flow
+    # (bash/kitti2pcd_no_ground.sh + tools/pcl_ground_removal.cpp): with the
+    # ground plane in, a horizontal prior error leaves ground matches at
+    # ~zero distance while facade matches carry the full offset, so the
+    # trim quantile keeps ground and discards exactly the informative
+    # correspondences — registration then just echoes the prior.
     traj, results, app = run_kitti_sequence(str(d), config=cfg,
-                                            priors=priors)
+                                            priors=priors,
+                                            remove_ground=True)
     assert traj.shape == (14, 4, 4)
     assert all(r is not None and r.accepted for r in results), [
         (r.accepted, r.inlier_rms) for r in results]
@@ -239,8 +246,8 @@ def test_kitti_runner_urban_vehicle_speed(tmp_path):
         chain.append(chain[-1] @ (np.linalg.inv(priors[i]) @ priors[i + 1]))
     err_prior = ate_rmse(rel_gt, np.stack(chain).astype(np.float32),
                          align=False)
-    assert err < 0.7 * err_prior, (err, err_prior)
-    assert err < 0.8, err
+    assert err < 0.3 * err_prior, (err, err_prior)
+    assert err < 0.2, err
     dyaw = np.degrees(np.arccos(np.clip(
         (np.trace(rel_est[-1][:3, :3].T @ rel_gt[-1][:3, :3]) - 1) / 2,
         -1, 1)))
