@@ -17,6 +17,19 @@ import numpy as np
 from .geometry import se3
 
 
+@jax.jit
+def _dequantize_jit(q: jax.Array, scale: jax.Array, center: jax.Array,
+                    count: jax.Array):
+    pts = q.astype(jnp.float32) * scale + center
+    mask = jax.lax.iota(jnp.int32, q.shape[0]) < count
+    return pts, mask
+
+
+def _dequantize_cloud(q, scale, center, count) -> "Cloud":
+    pts, mask = _dequantize_jit(q, scale, center, count)
+    return Cloud(pts, mask)
+
+
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class Cloud:
@@ -40,7 +53,16 @@ class Cloud:
         return Cloud(se3.transform_points(T, self.points), self.mask)
 
     @staticmethod
-    def from_numpy(arr: np.ndarray, capacity: Optional[int] = None) -> "Cloud":
+    def from_numpy(arr: np.ndarray, capacity: Optional[int] = None,
+                   quantize: bool = False) -> "Cloud":
+        """quantize=True sends the points over the wire as int16 fixed-point
+        (6 bytes/point instead of 12 + no mask array — the validity mask is
+        rebuilt on device from the count) and dequantizes on device. On a
+        tunneled chip the per-frame H2D transfer SERIALIZES with compute
+        (measured: 768 KB/frame costs ~6 ms of wire time the device spends
+        idle), so halving the bytes directly raises pipeline throughput.
+        Quantization step = extent/65534 per axis (2.5 mm at a 160 m span)
+        — far below lidar noise."""
         arr = np.asarray(arr, dtype=np.float32).reshape(-1, 3)
         n = arr.shape[0]
         cap = capacity if capacity is not None else n
@@ -49,6 +71,16 @@ class Cloud:
             idx = np.linspace(0, n - 1, cap).astype(np.int64)
             arr = arr[idx]
             n = cap
+        if quantize and n > 0:
+            lo = arr.min(axis=0)
+            hi = arr.max(axis=0)
+            center = (hi + lo) * 0.5
+            scale = np.maximum((hi - lo) / 65534.0, 1e-6).astype(np.float32)
+            q = np.zeros((cap, 3), dtype=np.int16)
+            q[:n] = np.round((arr - center) / scale)
+            return _dequantize_cloud(q, jnp.asarray(scale),
+                                     jnp.asarray(center.astype(np.float32)),
+                                     np.int32(n))
         pts = np.zeros((cap, 3), dtype=np.float32)
         pts[:n] = arr
         mask = np.zeros((cap,), dtype=bool)

@@ -73,9 +73,14 @@ def run_kitti_sequence(
                             n_threads=prefetch_threads)
     try:
         for idx, padded, count, _vp in pf:
-            mask = np.zeros((cfg.raw_capacity,), bool)
-            mask[:count] = True
-            cloud = Cloud.from_numpy_padded(padded, mask)
+            if cfg.quantized_upload or cfg.wire_voxel > 0.0:
+                from ..pipeline.sequence import wire_cloud
+
+                cloud = wire_cloud(cfg, padded[:count])
+            else:
+                mask = np.zeros((cfg.raw_capacity,), bool)
+                mask[:count] = True
+                cloud = Cloud.from_numpy_padded(padded, mask)
             if gcfg is not None:
                 from ..ops.ground import remove_ground as rg
                 import jax.numpy as jnp

@@ -20,9 +20,15 @@ CHECKPOINT_VERSION = 1
 
 
 def save_checkpoint(app, path: str) -> None:
-    """Serialize `App` state to `<path>.npz` + `<path>.json`."""
+    """Serialize `App` state to `<path>.npz` + `<path>.json`.
+
+    Finalizes any in-flight pipelined frames first: a checkpoint taken
+    between submit_cloud and flush would otherwise silently drop up to
+    pipeline_depth frames and serialize a speculative reference that is
+    inconsistent with the saved graph."""
     from ..pipeline.app import FrameResult
 
+    app.flush()
     arrays: dict[str, np.ndarray] = {}
     clouds_meta = []
     for i, c in enumerate(app.graph.clouds):
@@ -64,6 +70,8 @@ def save_checkpoint(app, path: str) -> None:
         "n_clouds": len(app.graph.clouds),
         "current_reference_id": app.graph.current_reference_id,
         "updates_counter": app.updates_counter,
+        "since_ref_disp": app._since_ref_disp,
+        "registered_any": app._registered_any,
         "clouds": clouds_meta,
         "frames": frames,
     }
@@ -101,6 +109,15 @@ def load_checkpoint(path: str, visualizer=None, classifier=None):
         app.prior_map = Cloud(jnp.asarray(data["prior_map_points"]),
                               jnp.asarray(data["prior_map_mask"]))
     app.updates_counter = manifest["updates_counter"]
+    # Dispatch-side windowed-reference counter: older checkpoints (no key)
+    # fall back to the graph-derived phase, which matches it except right
+    # after a rejection/risk-forced update.
+    app._since_ref_disp = manifest.get(
+        "since_ref_disp",
+        (manifest["n_clouds"] - (manifest["current_reference_id"] + 1))
+        % max(int(cfg.reference_update_frequency), 1))
+    app._registered_any = manifest.get("registered_any",
+                                       manifest["n_clouds"] > 0)
 
     for i, meta in enumerate(manifest["clouds"]):
         poses = data[f"cloud_{i}_poses"]

@@ -99,6 +99,37 @@ class App:
         # corrected at finalize on the rare reject / risk-forced divergence).
         self._pending: list[dict] = []
         self._since_ref_disp = 0
+        # True once any registration frame has been DISPATCHED (not merely
+        # finalized): the accept-gate exemption for the first registration
+        # (app.cpp:369 gates only when getNbClouds() != 0) must not leak to
+        # later in-flight frames while the graph still looks empty.
+        self._registered_any = False
+        # Monotonic generation token for the device-resident reference —
+        # lets finalize tell whether ITS frame's speculative adoption is
+        # still the current reference under pipelining (a plain identity
+        # check on recycled ids is unsound; see round-1 VERDICT weak #6).
+        self._ref_gen = 0
+
+        # Async finalize (cfg.async_finalize): a dedicated thread consumes
+        # finalize batches so the dispatch thread never blocks in the
+        # batched device_get (a full queue sync on the tunneled runtime).
+        # _state_lock serializes ALL pipeline-state mutation (submit-side
+        # speculation and finalize-side bookkeeping); the device_get itself
+        # runs outside the lock.
+        import threading
+
+        self._state_lock = threading.RLock()
+        self._fin_queue = None
+        self._fin_results: list[FrameResult] = []
+        self._fin_error: Optional[BaseException] = None
+        if config.async_finalize:
+            import queue as _queue
+
+            self._fin_queue = _queue.Queue()
+            self._fin_thread = threading.Thread(
+                target=self._finalizer_loop, name="aicp-finalizer",
+                daemon=True)
+            self._fin_thread.start()
 
         # Prior / built map (host-side append, device-side crop+filter).
         # The built map accumulates DEVICE clouds and materializes to numpy
@@ -298,6 +329,10 @@ class App:
         gate on those frames bounds the damage, exactly as in the reference
         where the worker thread lags the sensor stream.
         """
+        with self._state_lock:
+            return self._submit_cloud_locked(cloud)
+
+    def _submit_cloud_locked(self, cloud: AlignedCloud) -> list[FrameResult]:
         cfg = self.cfg
         t = self.timing
 
@@ -312,6 +347,7 @@ class App:
             self.graph.initialize(cloud)
             self._ref_device = (fpts, fmask, fnormals)
             self._ref_pose = np.asarray(cloud.corrected_pose)
+            self._ref_gen += 1
             ref_np = filtered.to_numpy()
             self.vis.publish_cloud(ref_np, 0, "", cloud.utime)
             self.vis.publish_pose(np.asarray(cloud.corrected_pose), 0, "",
@@ -346,12 +382,20 @@ class App:
         (ref_pts, ref_mask, ref_normals, ref_pose, ref_id,
          fixed_overlap) = self._set_reference(cloud, pose_est)
 
+        # First-registration exemption from the accept gate (app.cpp:369:
+        # the magnitude cap applies only when getNbClouds() != 0) — a
+        # relocalization against a prior/loaded map legitimately starts with
+        # |t| > max_correction_magnitude and must not be zeroed on device.
+        allow_large = self.graph.is_empty() and not self._registered_any
+        self._registered_any = True
+
         # ------------- the fused frame step: ONE dispatch ------------------
         out = self._app_step(
             cloud.cloud.points, cloud.cloud.mask, odom_pose,
             self._total_dev, ref_pts, ref_normals, ref_mask,
             np.asarray(ref_pose, np.float32),
-            np.float32(fixed_overlap), *self._clf_params)
+            np.float32(fixed_overlap), np.bool_(allow_large),
+            *self._clf_params)
         self._total_dev = out.new_total
 
         # Speculative windowed reference update (dispatch-side view of
@@ -359,40 +403,121 @@ class App:
         # adopting them as the next reference needs no sync. finalize()
         # corrects this state if the frame turns out rejected / high-risk.
         graph_mode = not cfg.localize_against_prior_map
-        saved_ref = (self._ref_device, self._ref_pose, self._since_ref_disp)
-        spec_update = False
+        saved_ref = (self._ref_device, self._ref_pose, self._since_ref_disp,
+                     self._ref_gen)
+        spec_update = None
         if graph_mode and not cfg.localize_against_built_map:
             self._since_ref_disp += 1
-            if (self._since_ref_disp % cfg.reference_update_frequency == 0
-                    or (cfg.load_map_from_file and self._ref_device is None)):
-                spec_update = True
+            if cfg.load_map_from_file and self._ref_device is None:
+                spec_update = "loadmap"
+            elif self._since_ref_disp % cfg.reference_update_frequency == 0:
+                spec_update = "window"
+            if spec_update:
                 self._ref_device = (out.aligned_points, out.filtered_mask,
                                     out.aligned_normals)
                 self._ref_pose = pose_est  # refined at finalize
                 self._since_ref_disp = 0
+                self._ref_gen += 1
 
         self._pending.append(dict(cloud=cloud, out=out, ref_id=ref_id,
                                   odom_pose=odom_pose, saved_ref=saved_ref,
-                                  spec_update=spec_update))
-        if len(self._pending) >= max(int(cfg.pipeline_depth), 1):
-            return self.flush()
+                                  spec_update=spec_update,
+                                  ref_gen=self._ref_gen))
+        depth = max(int(cfg.pipeline_depth), 1)
+        if len(self._pending) >= depth:
+            # Finalize only the OLDEST half of the window: fetching the
+            # whole window would block on the YOUNGEST frame — dispatched
+            # microseconds ago, with its full compute still ahead.
+            n = max(1, depth // 2)
+            if self._fin_queue is not None:
+                # async mode: hand the batch to the finalizer thread; the
+                # dispatch thread never blocks on a device round-trip
+                pendings = self._pending[:n]
+                self._pending = self._pending[n:]
+                self._fin_queue.put(pendings)
+                return self._drain_results_locked()
+            return self._finalize_batch(n)
         return []
 
     def flush(self) -> list[FrameResult]:
-        """Finalize ALL in-flight frames: one batched device round-trip for
-        the whole group's scalars, then per-frame host bookkeeping in
+        """Finalize ALL in-flight frames (end of stream / checkpoint) and,
+        in async-finalize mode, return every result not yet delivered."""
+        if self._fin_queue is not None:
+            with self._state_lock:
+                pendings = self._pending
+                self._pending = []
+                if pendings:
+                    self._fin_queue.put(pendings)
+            self._fin_queue.join()
+            with self._state_lock:
+                return self._drain_results_locked()
+        with self._state_lock:
+            return self._finalize_batch(len(self._pending))
+
+    def drain_results(self) -> list[FrameResult]:
+        """Async-finalize mode: return (and clear) the FrameResults the
+        finalizer thread has produced since the last call, in submission
         order."""
-        if not self._pending:
+        with self._state_lock:
+            return self._drain_results_locked()
+
+    def _drain_results_locked(self) -> list[FrameResult]:
+        if self._fin_error is not None:
+            err, self._fin_error = self._fin_error, None
+            raise RuntimeError("async finalize failed") from err
+        out = self._fin_results
+        self._fin_results = []
+        return out
+
+    @staticmethod
+    def _scalar_outputs(o) -> tuple:
+        return (o.correction, o.correction_raw, o.risk_ok, o.accepted,
+                o.new_total, o.overlap_percent, o.fov_overlap,
+                o.alignability, o.risk, o.n_iterations, o.inlier_rms,
+                o.filtered_count)
+
+    def _finalizer_loop(self) -> None:
+        """Dedicated finalize thread: the batched device_get (a full queue
+        sync on the tunneled runtime, GIL released during the RPC) runs
+        here, outside the state lock; the host bookkeeping tail runs under
+        it. One thread + FIFO queue keeps results in submission order."""
+        q = self._fin_queue
+        while True:
+            pendings = q.get()
+            if pendings is None:
+                q.task_done()
+                return
+            try:
+                fetched = jax.device_get(
+                    [self._scalar_outputs(p["out"]) for p in pendings])
+                with self._state_lock:
+                    self._fin_results.extend(
+                        self._finalize(p, f)
+                        for p, f in zip(pendings, fetched))
+            except BaseException as e:  # surfaced on next drain/flush
+                self._fin_error = e
+            finally:
+                q.task_done()
+
+    def close(self) -> None:
+        """Stop the async finalizer thread (no-op in synchronous mode)."""
+        if self._fin_queue is not None:
+            self.flush()
+            self._fin_queue.put(None)
+            self._fin_thread.join(timeout=30)
+            self._fin_queue = None
+
+    def _finalize_batch(self, n: int) -> list[FrameResult]:
+        """Finalize the `n` oldest in-flight frames: one batched device
+        round-trip for the group's scalars, then per-frame host bookkeeping
+        in order."""
+        if n <= 0 or not self._pending:
             return []
-        pendings = self._pending
-        self._pending = []
+        pendings = self._pending[:n]
+        self._pending = self._pending[n:]
         with self.timing.section("frameStep"):
-            fetched = jax.device_get([
-                (o.correction, o.correction_raw, o.risk_ok, o.accepted,
-                 o.new_total, o.overlap_percent, o.fov_overlap,
-                 o.alignability, o.risk, o.n_iterations, o.inlier_rms,
-                 o.filtered_count)
-                for o in (p["out"] for p in pendings)])
+            fetched = jax.device_get(
+                [self._scalar_outputs(p["out"]) for p in pendings])
         return [self._finalize(p, f) for p, f in zip(pendings, fetched)]
 
     def _finalize(self, pending: dict, fetched: tuple) -> FrameResult:
@@ -442,11 +567,16 @@ class App:
         # ---------------- accept gate + graph update (app.cpp:361-412) -----
         if not accepted:
             # WRONG ALIGNMENT: DROPPED POINT CLOUD (app.cpp:366-373).
-            # Roll back the speculative reference state. (_total_dev needs
-            # no rollback: the device chained new_total = I @ prev_total
-            # for a rejected frame.)
-            (self._ref_device, self._ref_pose,
-             self._since_ref_disp) = pending["saved_ref"]
+            # Roll back the speculative reference state — but only if no
+            # LATER in-flight frame has adopted a newer reference since this
+            # frame dispatched (generation-token check); clobbering that
+            # adoption would regress frames already registered against it.
+            # (_total_dev needs no rollback: the device chained
+            # new_total = I @ prev_total for a rejected frame.)
+            if self._ref_gen == pending["ref_gen"]:
+                (self._ref_device, self._ref_pose, self._since_ref_disp,
+                 _saved_gen) = pending["saved_ref"]
+                self._ref_gen += 1
             t.toc("fullLoop")
             res = FrameResult(
                 utime=cloud.utime, reference_id=ref_id,
@@ -473,27 +603,30 @@ class App:
                          its_reference_id=self.graph.current_reference_id)
             self.graph.add(cloud)
 
-            # Windowed reference update (app.cpp:382-391)
-            since_ref = (self.graph.n_clouds
-                         - (self.graph.current_reference_id + 1))
-            if (since_ref % cfg.reference_update_frequency == 0
-                    and not cfg.localize_against_prior_map):
+            # Windowed reference update (app.cpp:382-391) / loaded-map first
+            # iteration (app.cpp:392-399). The DISPATCH-side decision
+            # (spec_update) is authoritative: finalize re-deriving it from
+            # graph ids can diverge after a rejection and leave a
+            # speculatively adopted reference with a stale pose_est — so
+            # finalize only syncs the graph bookkeeping and, when this
+            # frame's adoption is still the current reference (generation
+            # check), refines _ref_pose to the true corrected pose.
+            if pending["spec_update"]:
                 self.graph.update_reference(self.graph.n_clouds - 1)
-                self.updates_counter += 1
-                self._ref_device = (out.aligned_points, out.filtered_mask,
-                                    out.aligned_normals)
-                self._ref_pose = np.asarray(cloud.corrected_pose)
-                self._since_ref_disp = 0
-            elif (cfg.load_map_from_file
-                  and not cfg.localize_against_prior_map
-                  and self.graph.n_clouds == 1):
-                # reference was the loaded map only for the first iteration
-                # (app.cpp:392-399)
-                self.graph.update_reference(self.graph.n_clouds - 1)
-                self._ref_device = (out.aligned_points, out.filtered_mask,
-                                    out.aligned_normals)
-                self._ref_pose = np.asarray(cloud.corrected_pose)
-                self._since_ref_disp = 0
+                if pending["spec_update"] == "window":
+                    self.updates_counter += 1
+                if self._ref_gen == pending["ref_gen"]:
+                    self._ref_pose = np.asarray(cloud.corrected_pose)
+            elif (cfg.localize_against_built_map
+                  and not cfg.localize_against_prior_map):
+                # built-map mode registers against the cropped map, so the
+                # dispatch side never adopts graph references — keep the
+                # windowed graph bookkeeping here for reference_id parity.
+                since_ref = (self.graph.n_clouds
+                             - (self.graph.current_reference_id + 1))
+                if since_ref % cfg.reference_update_frequency == 0:
+                    self.graph.update_reference(self.graph.n_clouds - 1)
+                    self.updates_counter += 1
         else:
             # High risk: trust the prior for one step, force reference update
             # (app.cpp:401-411)
@@ -506,6 +639,7 @@ class App:
                                 out.filtered_normals)
             self._ref_pose = np.asarray(cloud.corrected_pose)
             self._since_ref_disp = 0
+            self._ref_gen += 1
 
         # ---------------- compose + outputs (app.cpp:414-505) ---------------
         self.total_correction = np.asarray(new_total)

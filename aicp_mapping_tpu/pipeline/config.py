@@ -86,6 +86,29 @@ class PipelineConfig:
     filtered_capacity: int = 8192
     map_capacity: int = 262144
 
+    # --- wire format for per-frame cloud uploads (streaming drivers) ---
+    # On a tunneled chip the H2D transfer serializes with device compute,
+    # so wire bytes directly cost throughput (768 KB/frame = ~6 ms idle
+    # device; see Cloud.from_numpy). quantized_upload sends int16
+    # fixed-point (half the bytes, ~2.5 mm step at 160 m span — below lidar
+    # noise). wire_voxel > 0 additionally voxel-downsamples each cloud on
+    # the HOST (native C++) to `downsample_capacity` before upload — the
+    # device voxel stage is idempotent on an already-voxelized cloud, so
+    # pipeline semantics are preserved up to grid-phase effects; the
+    # accumulator's crop+batch is host-side in the reference too
+    # (velodyne_accumulator.cpp:58-67). Both default OFF: goldens and
+    # accuracy regressions run the exact raw path.
+    quantized_upload: bool = False
+    wire_voxel: float = 0.0
+    # Finalize in-flight frames on a dedicated thread instead of blocking
+    # the dispatch thread in the batched device_get (which on the tunneled
+    # runtime acts as a full queue sync). The dispatch thread then never
+    # stalls and throughput reaches the device-bound rate; results surface
+    # via App.drain_results() / flush(). Same staleness model as
+    # pipeline_depth; the reference's callback/worker split is the exact
+    # analog (app_ros.cpp:223-254).
+    async_finalize: bool = False
+
     # --- alignability ---
     align_ds_capacity: int = 4096
     align_max_clusters: int = 32

@@ -132,14 +132,19 @@ def make_app_frame_step(cfg: PipelineConfig, with_risk: bool,
 
     Signature:
       (raw_points, raw_mask, odom_pose, prev_total, ref_points, ref_normals,
-       ref_mask, ref_pose, fixed_overlap, clf_w, clf_b, clf_mean, clf_std)
+       ref_mask, ref_pose, fixed_overlap, allow_large,
+       clf_w, clf_b, clf_mean, clf_std)
       -> AppFrameOutput
 
     odom_pose is the reading's raw prior (state-estimator) pose; in debug
     working mode the accumulated correction `prev_total` is integrated into
     the reading on device (setAndFilterReading, app.cpp:86-96). fixed_overlap
     >= 0 overrides the computed overlap (prior-map mode pins it at 50.0,
-    app.cpp:123-127).
+    app.cpp:123-127). allow_large (bool scalar) exempts the frame from the
+    correction-magnitude accept gate: the reference gates only when the graph
+    already has clouds (app.cpp:369 checks getNbClouds() != 0), so the FIRST
+    registration — relocalizing in a prior/loaded map, where the initial
+    offset is legitimately large — must never be zeroed on device.
     """
     debug_mode = cfg.working_mode != "robot"
     risk_threshold = float(cfg.risk_threshold)
@@ -149,7 +154,8 @@ def make_app_frame_step(cfg: PipelineConfig, with_risk: bool,
     @jax.jit
     def app_step(raw_points, raw_mask, odom_pose, prev_total,
                  ref_points, ref_normals, ref_mask, ref_pose,
-                 fixed_overlap, clf_w, clf_b, clf_mean, clf_std):
+                 fixed_overlap, allow_large,
+                 clf_w, clf_b, clf_mean, clf_std):
         if debug_mode:
             pre_T = prev_total
             read_pose = prev_total @ odom_pose
@@ -216,7 +222,9 @@ def make_app_frame_step(cfg: PipelineConfig, with_risk: bool,
         risk_ok = (jnp.bool_(True) if not with_risk
                    else risk <= jnp.float32(risk_threshold))
         corr_g = jnp.where(risk_ok, res.T, eye4)
-        accepted = jnp.all(jnp.abs(corr_g[:3, 3]) <= jnp.float32(max_corr))
+        accepted = jnp.logical_or(
+            jnp.asarray(allow_large, jnp.bool_),
+            jnp.all(jnp.abs(corr_g[:3, 3]) <= jnp.float32(max_corr)))
         corr_f = jnp.where(accepted, corr_g, eye4)
 
         # Aligned reading + rotated normals: graph storage and, on windowed

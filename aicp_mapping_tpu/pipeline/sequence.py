@@ -20,6 +20,27 @@ from ..geometry import se3
 from ..io.pcd import read_pcd, write_pcd
 from ..io.poses import PoseWithTime, read_pose_csv, write_pose_csv
 from .app import App, FrameResult
+from .config import PipelineConfig
+
+
+def wire_cloud(cfg: PipelineConfig, pts: np.ndarray,
+               capacity: Optional[int] = None) -> Cloud:
+    """Prepare one accumulated cloud for upload per the config's wire
+    format (PipelineConfig.quantized_upload / wire_voxel): optional host
+    native voxel pre-downsample, optional int16 fixed-point transfer. On a
+    tunneled chip wire bytes serialize with device compute, so this is the
+    throughput lever for the streaming drivers."""
+    if cfg.wire_voxel > 0.0:
+        from .. import native
+
+        pts = native.voxel_downsample(np.asarray(pts, np.float32),
+                                      cfg.wire_voxel,
+                                      capacity=cfg.downsample_capacity)
+        cap = cfg.downsample_capacity
+    else:
+        cap = capacity if capacity is not None else cfg.raw_capacity
+    return Cloud.from_numpy(pts, capacity=cap,
+                            quantize=cfg.quantized_upload)
 
 
 class SequenceRunner:
@@ -55,12 +76,18 @@ class SequenceRunner:
         results = []
         pf = SequencePrefetcher(paths, capacity=self.raw_capacity,
                                 n_threads=prefetch_threads)
+        cfg = self.app.cfg
+        wire = cfg.quantized_upload or cfg.wire_voxel > 0.0
         try:
             for idx, padded, count, _vp in pf:
                 p = poses[idx]
-                mask = np.zeros((self.raw_capacity,), bool)
-                mask[:count] = True
-                cloud = Cloud.from_numpy_padded(padded, mask)
+                if wire:
+                    cloud = wire_cloud(cfg, padded[:count],
+                                       capacity=self.raw_capacity)
+                else:
+                    mask = np.zeros((self.raw_capacity,), bool)
+                    mask[:count] = True
+                    cloud = Cloud.from_numpy_padded(padded, mask)
                 ac = AlignedCloud.create(p.utime, cloud, p.pose)
                 results.extend(self._drive(ac))
         finally:
@@ -76,17 +103,26 @@ class SequenceRunner:
         (the largest per-frame transfer, ~25-35 ms on a tunneled chip) is
         enqueued asynchronously before the current frame's process_cloud
         blocks on its result, so transfer overlaps device compute."""
+        from concurrent.futures import ThreadPoolExecutor
+
         items = list(items)
         results = []
-        next_cloud = (Cloud.from_numpy(items[0][1], capacity=self.raw_capacity)
-                      if items else None)
-        for i, (utime, pts, pose) in enumerate(items):
-            cloud = next_cloud
-            if i + 1 < len(items):
-                next_cloud = Cloud.from_numpy(items[i + 1][1],
-                                              capacity=self.raw_capacity)
-            ac = AlignedCloud.create(utime, cloud, np.asarray(pose, np.float32))
-            results.extend(self._drive(ac))
+        cfg = self.app.cfg
+        # Wire prep (host voxel + quantize + H2D enqueue) runs one frame
+        # ahead on a worker thread: numpy/native/ctypes and the transfer RPC
+        # all release the GIL, so prep overlaps the device wait inside the
+        # pipeline's batched finalize.
+        with ThreadPoolExecutor(max_workers=1) as ex:
+            fut = (ex.submit(wire_cloud, cfg, items[0][1], self.raw_capacity)
+                   if items else None)
+            for i, (utime, pts, pose) in enumerate(items):
+                cloud = fut.result()
+                if i + 1 < len(items):
+                    fut = ex.submit(wire_cloud, cfg, items[i + 1][1],
+                                    self.raw_capacity)
+                ac = AlignedCloud.create(utime, cloud,
+                                         np.asarray(pose, np.float32))
+                results.extend(self._drive(ac))
         results.extend(self.app.flush())
         return results
 

@@ -137,8 +137,8 @@ class StreamingDriver:
         rpy = np.abs(_rpy(rel[:3, :3]))
         if dist > self.gate_t or np.any(rpy > self.gate_r):
             accumulated = self.accu.take()
-            cloud = Cloud.from_numpy(accumulated,
-                                     capacity=self.app.cfg.raw_capacity)
+            from .sequence import wire_cloud
+            cloud = wire_cloud(self.app.cfg, accumulated)
             current = AlignedCloud.create(utime, cloud, wtb)
             self.world_to_body_previous = wtb
             if self.recorder is not None:

@@ -114,17 +114,18 @@ def bench_app(cfg, items, breakdown=False):
         runner.run_clouds(items[2:])
         total = time.perf_counter() - t0
         # synced per-frame latency (process_cloud, includes upload + sync)
+        from aicp_mapping_tpu.pipeline.sequence import wire_cloud as _wire
         lat = []
         for utime, pts, pose in items[2:10]:
             f0 = time.perf_counter()
-            cloud = Cloud.from_numpy(pts, capacity=cfg.raw_capacity)
+            cloud = _wire(cfg, pts)
             ac = AlignedCloud.create(utime, cloud, np.asarray(pose, np.float32))
             app.process_cloud(ac)
             lat.append(time.perf_counter() - f0)
         # staged: same pipelined drive, clouds already device-resident
+        from aicp_mapping_tpu.pipeline.sequence import wire_cloud
         staged = [
-            (utime, Cloud.from_numpy(pts, capacity=cfg.raw_capacity),
-             np.asarray(pose, np.float32))
+            (utime, wire_cloud(cfg, pts), np.asarray(pose, np.float32))
             for utime, pts, pose in items[2:]]
         t0 = time.perf_counter()
         for utime, cloud, pose in staged:
@@ -149,6 +150,9 @@ def main() -> None:
                         help="capture a jax.profiler trace of the fused "
                              "steady-state loop into LOGDIR")
     parser.add_argument("--frames", type=int, default=28)
+    parser.add_argument("--depth", type=int, default=16,
+                        help="pipeline depth (frames in flight; each "
+                             "finalize batch = depth/2)")
     args = parser.parse_args()
 
     from aicp_mapping_tpu.pipeline.config import PipelineConfig
@@ -157,9 +161,17 @@ def main() -> None:
         raw_capacity=65536,
         downsample_capacity=16384,
         filtered_capacity=8192,
-        # streaming operating point: amortize the per-sync round-trip
-        # (~25 ms on a tunneled chip) over 8 in-flight frames
-        pipeline_depth=8,
+        # streaming operating point: each batched device_get quiesces the
+        # tunnel queue, so deeper windows = fewer syncs = more device time
+        pipeline_depth=args.depth,
+        # wire format: on the tunneled chip H2D transfers serialize with
+        # compute (768 KB raw f32 = ~6 ms idle device per frame), so the
+        # streaming path ships host-voxelized int16 clouds (~96 KB)
+        quantized_upload=True,
+        wire_voxel=0.08,
+        # finalize on a dedicated thread: the batched device_get is a full
+        # queue sync on the tunneled runtime and would stall dispatch
+        async_finalize=True,
     )
     items = make_inputs(cfg, n_frames=args.frames)
 

@@ -189,6 +189,23 @@ long aicp_pcd_read(const char* path, float** out_xyz, double viewpoint[7]) {
       std::fclose(f);
       return -2;
     }
+    // Validate the header-declared sizes before allocating: a corrupt or
+    // truncated file could otherwise request up to 4 GiB per buffer and
+    // throw std::bad_alloc across the extern "C"/ctypes boundary.
+    long pos = std::ftell(f);
+    if (pos < 0 || std::fseek(f, 0, SEEK_END) != 0) {
+      std::fclose(f);
+      return -2;
+    }
+    long fsize = std::ftell(f);
+    std::fseek(f, pos, SEEK_SET);
+    const unsigned long long kMaxUncompressed = 1ull << 30;  // 1 GiB cap
+    if (fsize < 0 || static_cast<unsigned long long>(csize) >
+                         static_cast<unsigned long long>(fsize - pos) ||
+        static_cast<unsigned long long>(usize) > kMaxUncompressed) {
+      std::fclose(f);
+      return -2;
+    }
     std::vector<unsigned char> cbuf(csize), ubuf(usize);
     if (std::fread(cbuf.data(), 1, csize, f) != csize) {
       std::fclose(f);

@@ -59,3 +59,29 @@ def test_checkpoint_preserves_prior_map(tmp_path):
     assert app2.prior_map is not None
     np.testing.assert_array_equal(np.asarray(app2.prior_map.points),
                                   np.asarray(app.prior_map.points))
+
+
+def test_checkpoint_flushes_inflight_frames(tmp_path):
+    """A checkpoint taken mid-pipeline (between submit_cloud and flush) must
+    finalize the in-flight frames first, not silently drop them."""
+    from aicp_mapping_tpu.cloud import AlignedCloud, Cloud
+
+    items, _ = synthetic_sequence(n_frames=5, n_points=4000, seed=7)
+    cfg = _cfg()
+    cfg.pipeline_depth = 8  # deeper than the sequence: nothing auto-flushes
+    app = App(cfg)
+    for u, pts, pose in items:
+        app.submit_cloud(AlignedCloud.create(
+            u, Cloud.from_numpy(pts, capacity=cfg.raw_capacity),
+            np.asarray(pose, np.float32)))
+    assert app._pending  # frames genuinely in flight
+
+    ckpt = str(tmp_path / "mid")
+    save_checkpoint(app, ckpt)
+    assert not app._pending  # save flushed them
+
+    app2 = load_checkpoint(ckpt)
+    assert len(app2.frames) == len(items)
+    assert app2.graph.n_clouds == app.graph.n_clouds
+    assert app2._since_ref_disp == app._since_ref_disp
+    assert app2._registered_any == app._registered_any

@@ -174,3 +174,30 @@ def test_prefetcher_voxel_mode(lib, tmp_path):
     pf.close()
     assert count == 2
     np.testing.assert_allclose(out[0], [0.1, 0.1, 0.1], atol=1e-6)
+
+
+def test_binary_compressed_corrupt_sizes_rejected(lib, tmp_path):
+    """A binary_compressed PCD whose header declares absurd compressed /
+    uncompressed sizes must fail with a clean error code, not a multi-GiB
+    allocation (std::bad_alloc across the ctypes boundary aborts)."""
+    import struct
+
+    header = ("# .PCD v0.7\nVERSION 0.7\nFIELDS x y z\nSIZE 4 4 4\n"
+              "TYPE F F F\nCOUNT 1 1 1\nWIDTH 10\nHEIGHT 1\n"
+              "VIEWPOINT 0 0 0 1 0 0 0\nPOINTS 10\nDATA binary_compressed\n")
+    for csize, usize in ((0xFFFFFF00, 120), (8, 0xFFFFFF00)):
+        path = str(tmp_path / f"corrupt_{csize}_{usize}.pcd")
+        with open(path, "wb") as f:
+            f.write(header.encode())
+            f.write(struct.pack("<II", csize, usize))
+            f.write(b"\x00" * 8)  # far less data than declared
+        with pytest.raises(IOError):
+            native.read_cloud(path)
+
+
+def test_binary_compressed_valid_roundtrip_still_works(lib, tmp_path):
+    pts = _random_cloud(300, seed=11)
+    path = str(tmp_path / "ok_compressed.pcd")
+    write_pcd(path, pts, binary="compressed")
+    got, _ = native.read_cloud(path)
+    np.testing.assert_allclose(got, pts, atol=1e-6)

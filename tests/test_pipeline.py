@@ -101,6 +101,40 @@ def test_localization_against_prior_map(seq):
     assert app.updates_counter == 0
 
 
+def test_first_registration_exempt_from_accept_gate(seq):
+    """Relocalizing in a prior map with an initial offset beyond
+    max_correction_magnitude must succeed: the reference applies the accept
+    gate only when the graph already has clouds (app.cpp:369), so the FIRST
+    registration is exempt — and only the first (the exemption must not leak
+    to later frames while the graph still looks empty under pipelining)."""
+    items, gt = seq
+    world = np.concatenate([it[1] for it in items])
+    offset = np.eye(4, dtype=np.float32)
+    offset[:3, 3] = [0.25, -0.2, 0.0]    # |t| well over the 0.1 gate below
+    # the whole odometry frame (points AND poses) is offset from the map
+    # frame — the relocalization scenario
+    shifted = [(u, p + offset[:3, 3], offset @ np.asarray(pose, np.float32))
+               for u, p, pose in items]
+
+    cfg = small_config(localize_against_prior_map=True,
+                       crop_map_around_base=20.0,
+                       max_correction_magnitude=0.1)
+    app = App(cfg)
+    app.set_prior_map(Cloud.from_numpy(world, capacity=32768))
+    frames = SequenceRunner(app).run_clouds(shifted)
+
+    assert frames[0].accepted
+    # the first correction really was beyond the gate (exemption exercised)
+    assert np.abs(frames[0].correction[:3, 3]).max() > 0.1
+    # the offset is absorbed immediately (without the exemption the zeroed
+    # correction chains into new_total and every later frame rejects)
+    assert all(f.accepted for f in frames)
+    err0 = np.linalg.norm(frames[0].corrected_pose[:3, 3] - gt[0][:3, 3])
+    assert err0 < 0.1, err0
+    final_err = np.linalg.norm(frames[-1].corrected_pose[:3, 3] - gt[-1][:3, 3])
+    assert final_err < np.linalg.norm(offset[:3, 3]), final_err
+
+
 def test_record_replay_determinism(tmp_path, seq):
     """record/replay harness (SURVEY.md §3.3): replay produces identical
     corrected poses."""
@@ -189,3 +223,48 @@ def test_pipelined_matches_synchronous(seq):
         np.testing.assert_allclose(a.corrected_pose, b.corrected_pose,
                                    atol=1e-6, rtol=0)
         assert abs(a.octree_overlap - b.octree_overlap) < 1e-4
+
+
+def test_quantized_upload_roundtrip():
+    """int16 wire format: dequantized points match the source within the
+    quantization step (extent/65534 per axis)."""
+    rng = np.random.default_rng(3)
+    pts = rng.uniform(-80, 80, (5000, 3)).astype(np.float32)
+    c = Cloud.from_numpy(pts, capacity=8192, quantize=True)
+    got = c.to_numpy()
+    assert got.shape == (5000, 3)
+    np.testing.assert_allclose(got, pts, atol=0.005)
+    assert int(np.asarray(c.count())) == 5000
+
+
+def test_wire_format_tracks_raw_path(seq):
+    """quantized int16 + host-voxel wire format must produce the same
+    accept decisions and corrected trajectory (within quantization + grid
+    phase effects) as the exact raw-f32 path."""
+    items, _ = seq
+    frames_raw = SequenceRunner(App(small_config())).run_clouds(items)
+    cfg_w = small_config(quantized_upload=True, wire_voxel=0.08)
+    frames_wire = SequenceRunner(App(cfg_w)).run_clouds(items)
+    assert len(frames_raw) == len(frames_wire)
+    for a, b in zip(frames_raw, frames_wire):
+        assert a.accepted == b.accepted
+        np.testing.assert_allclose(a.corrected_pose[:3, 3],
+                                   b.corrected_pose[:3, 3], atol=0.03)
+
+
+def test_async_finalize_matches_synchronous(seq):
+    """cfg.async_finalize moves the batched device_get to a dedicated
+    thread; results must still match the synchronous path exactly on a
+    nominal sequence (same guarantee as test_pipelined_matches_synchronous)."""
+    items, _ = seq
+    frames_sync = SequenceRunner(App(small_config())).run_clouds(items)
+    app = App(small_config(pipeline_depth=4, async_finalize=True))
+    frames_async = SequenceRunner(app, pipelined=True).run_clouds(items)
+    app.close()
+    assert len(frames_sync) == len(frames_async)
+    for a, b in zip(frames_sync, frames_async):
+        assert a.utime == b.utime
+        assert a.accepted == b.accepted
+        assert a.reference_id == b.reference_id
+        np.testing.assert_allclose(a.corrected_pose, b.corrected_pose,
+                                   atol=1e-6, rtol=0)
