@@ -458,6 +458,37 @@ def _cmd_slam(args) -> int:
     return 0
 
 
+def _cmd_draw(args) -> int:
+    """Cloud -> drawable line geometry (drawingUtils.cpp analog:
+    publishOctreeToLCM / drawPointCloudNormalsCollections rendered the same
+    artifacts into the LCM viewer; here they land in a ParaView-readable
+    VTK LINES file)."""
+    import numpy as np
+
+    from .io.vtk import write_vtk_lines
+    from .native import read_cloud
+    from .utils.drawing import normals_segments, octree_wireframe
+
+    pts, _vp = read_cloud(args.infile)
+    if args.mode == "octree":
+        segs = octree_wireframe(pts, args.resolution)
+    else:
+        from .cloud import Cloud
+        from .ops import estimate_normals
+
+        cap = 1 << max(int(np.ceil(np.log2(max(len(pts), 2)))), 6)
+        cloud = Cloud.from_numpy(pts, capacity=cap)
+        normals, _, _ = estimate_normals(cloud.points, cloud.mask, k=12)
+        m = np.asarray(cloud.mask)
+        segs = normals_segments(np.asarray(cloud.points)[m],
+                                np.asarray(normals)[m],
+                                scale=args.scale, stride=args.stride)
+    write_vtk_lines(args.outfile, segs)
+    print(json.dumps({"points": len(pts), "segments": int(len(segs)),
+                      "mode": args.mode, "output": args.outfile}))
+    return 0
+
+
 def _cmd_vtk_to_octree(args) -> int:
     """VTK cloud -> occupancy-voxel cloud (aicp_lcm/examples/
     vtk_to_octree.cpp analog: the octree is the rebuild's voxel-hash
@@ -581,6 +612,20 @@ def build_parser() -> argparse.ArgumentParser:
     ac.add_argument("--max-range", type=float, default=30.0)
     ac.add_argument("--voxel", type=float, default=0.0)
     ac.set_defaults(func=_cmd_accumulate)
+
+    dr = sub.add_parser("draw", help="cloud -> octree wireframe / normal "
+                                     "whiskers as VTK lines")
+    dr.add_argument("infile", help=".pcd/.ply/.bin cloud")
+    dr.add_argument("outfile", help=".vtk LINES output")
+    dr.add_argument("--mode", choices=("octree", "normals"),
+                    default="octree")
+    dr.add_argument("--resolution", type=float, default=0.2,
+                    help="octree cell size (octree mode)")
+    dr.add_argument("--scale", type=float, default=0.2,
+                    help="whisker length (normals mode)")
+    dr.add_argument("--stride", type=int, default=1,
+                    help="subsample normals by this stride")
+    dr.set_defaults(func=_cmd_draw)
 
     vo = sub.add_parser("vtk-to-octree",
                         help="VTK cloud -> occupancy-voxel cell cloud")

@@ -68,3 +68,35 @@ def write_vtk(path: str, points: np.ndarray, binary: bool = False) -> None:
         else:
             for i in range(n):
                 f.write(f"1 {i}\n".encode())
+
+
+def write_vtk_lines(path: str, segments: np.ndarray,
+                    binary: bool = False) -> None:
+    """Write (K, 2, 3) line segments as VTK POLYDATA LINES — the offline
+    sink for utils.drawing geometry (octree wireframes, normal whiskers),
+    viewable in ParaView; the reference pushed the same artifacts to the
+    LCM collections viewer (drawingUtils.cpp)."""
+    segs = np.ascontiguousarray(segments, np.float32).reshape(-1, 2, 3)
+    k = segs.shape[0]
+    pts = segs.reshape(-1, 3)
+    with open(path, "wb") as f:
+        f.write(b"# vtk DataFile Version 3.0\n")
+        f.write(b"aicp_mapping_tpu line segments\n")
+        f.write(b"BINARY\n" if binary else b"ASCII\n")
+        f.write(b"DATASET POLYDATA\n")
+        f.write(f"POINTS {2 * k} float\n".encode())
+        if binary:
+            f.write(pts.astype(">f4").tobytes())
+        else:
+            for p in pts:
+                f.write(f"{p[0]:.6f} {p[1]:.6f} {p[2]:.6f}\n".encode())
+        f.write(f"\nLINES {k} {3 * k}\n".encode())
+        if binary:
+            cells = np.empty((k, 3), ">i4")
+            cells[:, 0] = 2
+            cells[:, 1] = 2 * np.arange(k)
+            cells[:, 2] = 2 * np.arange(k) + 1
+            f.write(cells.tobytes())
+        else:
+            for i in range(k):
+                f.write(f"2 {2 * i} {2 * i + 1}\n".encode())

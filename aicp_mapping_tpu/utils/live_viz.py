@@ -213,5 +213,13 @@ class LiveVisualizer(Visualizer):
                                  "value": float(value),
                                  "utime": int(utime)}))
 
+    def publish_lines(self, segments, name, utime) -> None:
+        """Line-segment geometry (K, 2, 3) — octree wireframes / normal
+        whiskers (utils.drawing; drawingUtils.cpp analog)."""
+        segs = np.asarray(segments, np.float32).reshape(-1, 2, 3)
+        if len(segs) > self.max_points:
+            segs = segs[:: len(segs) // self.max_points + 1]
+        self._send_array("lines", segs, name=name, utime=int(utime))
+
     def get_path(self) -> list[np.ndarray]:
         return self._path

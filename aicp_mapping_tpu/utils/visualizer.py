@@ -46,6 +46,12 @@ class Visualizer:
 
     def publish_metric(self, name: str, value: float, utime: int) -> None: ...
 
+    def publish_lines(self, segments: np.ndarray, name: str,
+                      utime: int) -> None:
+        """Line-segment geometry (K, 2, 3) — octree wireframes / normal
+        whiskers from utils.drawing (drawingUtils.cpp analog)."""
+        ...
+
     def get_path(self) -> list[np.ndarray]:
         return [np.eye(4, dtype=np.float32)]
 
@@ -65,6 +71,7 @@ class RecordingVisualizer(Visualizer):
         self.odom_poses: list[tuple[int, np.ndarray]] = []
         self.odom_to_map: list[tuple[int, np.ndarray]] = []
         self.metrics: dict[str, list[tuple[int, float]]] = {}
+        self.lines: list[tuple[int, str, np.ndarray]] = []
 
     def publish_cloud(self, points, channel, name, utime):
         self.clouds.append((utime, np.asarray(points)))
@@ -86,6 +93,9 @@ class RecordingVisualizer(Visualizer):
 
     def publish_metric(self, name, value, utime):
         self.metrics.setdefault(name, []).append((utime, float(value)))
+
+    def publish_lines(self, segments, name, utime):
+        self.lines.append((utime, name, np.asarray(segments)))
 
     def get_path(self) -> list[np.ndarray]:
         if not self.poses:

@@ -93,3 +93,24 @@ def test_app_streams_through_live_visualizer():
         assert "cloud" in got and "map" in got and "metric" in got, got
     finally:
         vis.close()
+
+
+def test_lines_frame_roundtrip():
+    from aicp_mapping_tpu.utils.drawing import octree_wireframe
+
+    viz = LiveVisualizer()
+    try:
+        sock = socket.create_connection(viz.address, timeout=5)
+        time.sleep(0.2)  # let the writer thread attach
+        pts = np.random.default_rng(1).uniform(-2, 2, (50, 3)).astype(
+            np.float32)
+        segs = octree_wireframe(pts, 0.5)
+        viz.publish_lines(segs, "octree", 123)
+        viz.publish_metric("done", 1.0, 124)
+        header, arr = next(read_frames(sock))
+        assert header["type"] == "lines"
+        assert header["name"] == "octree"
+        np.testing.assert_allclose(arr, segs, atol=1e-6)
+        sock.close()
+    finally:
+        viz.close()

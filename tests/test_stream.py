@@ -125,3 +125,73 @@ def test_clear_buffer_handshake():
     drv.on_pose(2, np.eye(4))     # latches clear_clouds_buffer
     drv.on_scan(3, scan)          # clears instead of accumulating
     assert drv.accu.count == 0
+
+
+def test_concurrent_stress_pose_scan_threads():
+    """Race/stress test (SURVEY.md 5.2 — the reference relies on manual
+    mutex discipline with zero sanitizer coverage): a pose thread at
+    estimator rate, a scan thread at lidar rate, and a control thread
+    injecting corrections hammer the driver concurrently while the worker
+    registers clouds. Asserts no exceptions escape any thread, the queue
+    bound holds, accounting stays consistent, and the driver shuts down
+    clean."""
+    import threading
+
+    items, _ = synthetic_sequence(n_frames=5, n_points=2500, step=1.5, seed=4)
+    app = _small_app()
+    errors: list[BaseException] = []
+    results = []
+    drv = StreamingDriver(app, batch_size=1, max_range=100.0,
+                          motion_gate_translation=0.1, max_queue_size=2,
+                          result_callback=results.append)
+    drv.run()
+    stop = threading.Event()
+
+    def guard(fn):
+        def wrapped():
+            try:
+                fn()
+            except BaseException as e:  # noqa: BLE001 — test must see it
+                errors.append(e)
+        return wrapped
+
+    @guard
+    def pose_thread():
+        i = 0
+        while not stop.is_set():
+            utime, _, odom = items[i % len(items)]
+            drv.on_pose(utime + i, odom)
+            i += 1
+
+    @guard
+    def scan_thread():
+        i = 0
+        while not stop.is_set():
+            utime, pts_odom, odom = items[i % len(items)]
+            local = (pts_odom - odom[:3, 3]) @ odom[:3, :3]
+            drv.on_scan(utime + i, local.astype(np.float32))
+            i += 1
+
+    @guard
+    def control_thread():
+        while not stop.is_set():
+            app.inject_correction(np.eye(4, dtype=np.float32))
+            with drv._data_mutex:
+                assert len(drv._queue) <= drv.max_queue_size
+
+    threads = [threading.Thread(target=t, daemon=True)
+               for t in (pose_thread, scan_thread, control_thread)]
+    for t in threads:
+        t.start()
+    import time
+    time.sleep(4.0)
+    stop.set()
+    for t in threads:
+        t.join(timeout=30)
+    assert not any(t.is_alive() for t in threads)
+    drv.stop()
+
+    assert not errors, errors
+    assert drv.n_processed == len(results) or drv.pipelined
+    assert drv.n_processed + drv.n_dropped >= len(results)
+    assert all(np.isfinite(r.corrected_pose).all() for r in results)

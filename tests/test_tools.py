@@ -346,3 +346,17 @@ def test_cli_slam_loop_improves_consistency(tmp_path, capsys):
     # drift-removal claim on the hard outdoor world.
     assert out["ate_post_m"] <= max(1.5 * out["ate_pre_m"], 0.02), out
     assert map_out.exists() and poses_out.exists()
+
+
+def test_cli_draw_octree_and_normals(pair_dir, tmp_path, capsys):
+    """drawingUtils analog: octree wireframes + normal whiskers as VTK
+    LINES (publishOctreeToLCM / drawPointCloudNormalsCollections)."""
+    for mode in ("octree", "normals"):
+        out = str(tmp_path / f"{mode}.vtk")
+        rc = cli_main(["draw", str(pair_dir / "ref.pcd"), out,
+                       "--mode", mode, "--stride", "4"])
+        assert rc == 0
+        info = json.loads(capsys.readouterr().out)
+        assert info["segments"] > 0
+        text = open(out, "rb").read().decode()
+        assert "LINES" in text

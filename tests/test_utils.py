@@ -69,3 +69,56 @@ def test_app_initial_guess():
     app.set_initial_guess(marker, odom)
     corrected = app.correct_pose(odom)
     np.testing.assert_allclose(corrected, marker, atol=1e-6)
+
+
+def test_octree_wireframe_edges():
+    from aicp_mapping_tpu.utils.drawing import octree_wireframe
+    from aicp_mapping_tpu.utils.visualizer import occupied_cells
+
+    pts = np.array([[0.05, 0.05, 0.05], [0.06, 0.04, 0.05],  # same cell
+                    [1.05, 0.05, 0.05]], np.float32)
+    segs = octree_wireframe(pts, 0.2)
+    cells = occupied_cells(pts, 0.2)
+    assert segs.shape == (len(cells) * 12, 2, 3)
+    # every segment is a cube edge: axis-aligned, length == resolution
+    d = segs[:, 1] - segs[:, 0]
+    lengths = np.linalg.norm(d, axis=1)
+    np.testing.assert_allclose(lengths, 0.2, atol=1e-6)
+    assert np.all((np.abs(d) > 1e-7).sum(axis=1) == 1)  # axis-aligned
+    # all corners lie on the cell boundaries
+    assert np.all(np.abs(segs.reshape(-1, 3) / 0.2
+                         - np.round(segs.reshape(-1, 3) / 0.2)) < 1e-5)
+
+
+def test_normals_segments_and_pose_axes():
+    from aicp_mapping_tpu.geometry import se3
+    from aicp_mapping_tpu.utils.drawing import (normals_segments,
+                                                pose_axes_segments)
+
+    pts = np.random.default_rng(0).uniform(-1, 1, (10, 3)).astype(np.float32)
+    nrm = np.tile([0.0, 0.0, 1.0], (10, 1)).astype(np.float32)
+    segs = normals_segments(pts, nrm, scale=0.5, stride=2)
+    assert segs.shape == (5, 2, 3)
+    np.testing.assert_allclose(segs[:, 1] - segs[:, 0],
+                               np.tile([0, 0, 0.5], (5, 1)), atol=1e-6)
+
+    T = np.eye(4, dtype=np.float32)
+    T[:3, 3] = [1, 2, 3]
+    segs = pose_axes_segments(T, scale=0.7)
+    assert segs.shape == (3, 2, 3)
+    np.testing.assert_allclose(segs[0, 1] - segs[0, 0], [0.7, 0, 0],
+                               atol=1e-6)
+    np.testing.assert_allclose(segs[:, 0], np.tile([1, 2, 3], (3, 1)),
+                               atol=1e-6)
+
+
+def test_write_vtk_lines(tmp_path):
+    from aicp_mapping_tpu.io.vtk import write_vtk_lines
+
+    segs = np.arange(24, dtype=np.float32).reshape(4, 2, 3)
+    p = str(tmp_path / "lines.vtk")
+    write_vtk_lines(p, segs)
+    text = open(p, "rb").read().decode()
+    assert "POINTS 8 float" in text
+    assert "LINES 4 12" in text
+    assert "2 0 1" in text and "2 6 7" in text
