@@ -49,7 +49,8 @@ def collective_stats(compiled_text: str) -> dict:
 
 
 def run_scaling(n_devices: int = 8, n_points: int = 32768,
-                ref_points: int = 8192, iters: int = 10) -> dict:
+                ref_points: int = 8192, iters: int = 10,
+                map_points: int = 65536, map_reading: int = 8192) -> dict:
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -117,6 +118,55 @@ def run_scaling(n_devices: int = 8, n_points: int = 32768,
     # executed iterations
     per_iter = stats["program_collective_bytes"]
 
+    # ---- map-block sharded: reference sharded, reading replicated ----
+    # (SURVEY 2.12-bis "map-block sharding": the layout for maps larger
+    # than one chip's HBM — per-shard NN cost scales 1/D with map size,
+    # collective payload is ~36 B per reading point per iteration)
+    from ..parallel import map_sharded_point_to_plane_icp
+
+    map_np = room_cloud(n=map_points, size=16.0, seed=4, noise=0.005)
+    mcl = Cloud.from_numpy(map_np, capacity=map_points)
+    mnormals, _, _ = estimate_normals(mcl.points, mcl.mask, k=12)
+    msub = Cloud.from_numpy(map_np[:: map_points // map_reading][:map_reading],
+                            capacity=map_reading)
+    mread = msub.transform(T_pert)
+
+    mres1, mt1 = timed(lambda: point_to_plane_icp(
+        mread.points, mread.mask, mcl.points, mnormals, mcl.mask,
+        se3.identity(), jnp.float32(0.7), cfg))
+    mresN, mtN = timed(lambda: map_sharded_point_to_plane_icp(
+        mesh, mread.points, mread.mask, mcl.points, mnormals, mcl.mask,
+        se3.identity(), 0.7, cfg))
+
+    cfg_ms = dataclasses.replace(cfg, axis_name="points",
+                                 shard_axis_mode="reference")
+
+    @partial(jax.shard_map, mesh=mesh,
+             in_specs=(P(), P(), P("points"), P("points"), P("points"),
+                       P(), P()),
+             out_specs=P(), check_vma=False)
+    def solve_T_map(rp, rm, fp, fn_, fm, T0, ratio):
+        return point_to_plane_icp(rp, rm, fp, fn_, fm, T0, ratio, cfg_ms).T
+
+    mcompiled = jax.jit(solve_T_map).lower(
+        mread.points, mread.mask, mcl.points, mnormals, mcl.mask,
+        se3.identity(), jnp.float32(0.7)).compile()
+    mstats = collective_stats(mcompiled.as_text())
+    map_sharded = {
+        "map_points": map_points,
+        "reading_points": map_reading,
+        "single_device_ms": round(mt1 * 1e3, 2),
+        "sharded_ms": round(mtN * 1e3, 2),
+        "speedup": round(mt1 / mtN, 3),
+        "collectives": mstats["ops"],
+        "collective_bytes_per_iteration": mstats["program_collective_bytes"],
+        "collective_bytes_per_reading_point":
+            mstats["program_collective_bytes"] / map_reading,
+        "sharded_matches_single": bool(
+            np.allclose(np.asarray(mresN.T), np.asarray(mres1.T),
+                        atol=1e-3)),
+    }
+
     t_err = float(np.linalg.norm(
         (np.asarray(resN.T) @ np.asarray(T_pert))[:3, 3]))
     return {
@@ -133,6 +183,7 @@ def run_scaling(n_devices: int = 8, n_points: int = 32768,
         "sharded_T_error_m": round(t_err, 5),
         "sharded_matches_single": bool(
             np.allclose(np.asarray(resN.T), np.asarray(res1.T), atol=1e-3)),
+        "map_sharded": map_sharded,
     }
 
 

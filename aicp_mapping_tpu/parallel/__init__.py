@@ -6,7 +6,9 @@ from .posegraph import (  # noqa: F401
     optimize_pose_graph_sharded,
     pad_edges,
 )
-from .sharded_icp import histogram_quantile, sharded_point_to_plane_icp  # noqa: F401
+from .sharded_icp import (histogram_quantile,  # noqa: F401
+                          map_sharded_point_to_plane_icp,
+                          sharded_point_to_plane_icp)
 from .ba import (  # noqa: F401
     PlaneBA,
     build_plane_ba,

@@ -90,3 +90,50 @@ def sharded_point_to_plane_icp(
     return run(reading_points, reading_mask, reference_points,
                reference_normals, reference_mask,
                init_T.astype(jnp.float32), jnp.float32(trim_ratio))
+
+
+def map_sharded_point_to_plane_icp(
+    mesh: Mesh,
+    reading_points, reading_mask,
+    reference_points, reference_normals, reference_mask,
+    init_T, trim_ratio,
+    config: ICPConfig = ICPConfig(),
+    axis: str = "points",
+) -> ICPResult:
+    """Run ICP with the REFERENCE (map) sharded in blocks over `mesh[axis]`
+    and the reading replicated — the memory-scaling layout for localization
+    against maps larger than one chip's HBM (SURVEY.md 2.12-bis "map-block
+    sharding"). Each shard matches the full reading against its map block
+    (all single-device fast paths run block-local, including the Morton-
+    banded kernels on the block's own sort); the global nearest neighbor is
+    then reduced across shards with pmin + a psum payload select — ~36 B
+    per reading point per iteration on ICI, independent of map size.
+
+    Returns a fully replicated ICPResult (per-point stats are replicated
+    because every shard holds the whole reading)."""
+    n_dev = mesh.shape[axis]
+    assert reference_points.shape[0] % n_dev == 0, (
+        reference_points.shape[0], n_dev)
+    cfg = dataclasses.replace(config, axis_name=axis,
+                              shard_axis_mode="reference")
+
+    out_specs = ICPResult(
+        T=P(), n_iterations=P(), inlier_rms=P(),
+        match_dist2=P(), inlier_mask=P(), hessian=P())
+
+    @jax.jit
+    @partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(), P(), P(axis), P(axis), P(axis), P(), P()),
+        out_specs=out_specs,
+        # after the cross-shard NN reduction every value is replicated by
+        # construction; the Pallas kernels don't annotate varying axes
+        check_vma=False,
+    )
+    def run(rp, rm, fp, fn, fm, T0, ratio):
+        return point_to_plane_icp(rp, rm, fp, fn, fm, T0, ratio, cfg)
+
+    return run(reading_points, reading_mask, reference_points,
+               reference_normals, reference_mask,
+               init_T.astype(jnp.float32), jnp.float32(trim_ratio))

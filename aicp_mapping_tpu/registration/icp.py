@@ -104,14 +104,26 @@ class ICPConfig:
     # inlier points constraining that direction, so ~30 means "require
     # 30 points". 0 disables (plain damped solve).
     degeneracy_threshold: float = 0.0
-    # SPMD: set to the shard_map mesh axis name when the READING points are
-    # sharded along the point axis (reference replicated). All global
-    # reductions — trim-quantile histograms, the 6x6 normal equations, the
-    # inlier RMS — are then psum-reduced over the axis, so every shard steps
-    # the identical replicated transform while the per-point work (including
-    # the Pallas payload / Morton-banded NN kernels) stays shard-local.
-    # None = single-device. Used by parallel.sharded_point_to_plane_icp.
+    # SPMD: set to the shard_map mesh axis name when running distributed.
+    # None = single-device. Used by parallel.sharded_point_to_plane_icp /
+    # parallel.map_sharded_point_to_plane_icp.
     axis_name: str | None = None
+    # Which operand is sharded along `axis_name`:
+    #   "reading"   — reading points sharded, reference replicated
+    #                 (compute-scaling): trim-quantile histograms, 6x6
+    #                 normal equations and inlier RMS are psum-reduced, so
+    #                 every shard steps the identical transform while the
+    #                 per-point work (incl. Pallas/banded NN) stays local.
+    #   "reference" — reference/map BLOCKS sharded, reading replicated
+    #                 (memory-scaling: the map can exceed one chip's HBM):
+    #                 each shard matches the full reading against its map
+    #                 block, then the global nearest neighbor is reduced
+    #                 across shards (pmin distance + lowest-shard tie-break
+    #                 + psum payload select); after that reduction all
+    #                 per-point data is replicated, so the solve runs
+    #                 collective-free. Collective payload per iteration:
+    #                 (M,) pmin x2 + (M,8) psum.
+    shard_axis_mode: str = "reading"
 
 
 @jax.tree_util.register_dataclass
@@ -166,9 +178,12 @@ def point_to_plane_icp(
     """
     S = config.smooth_length
     axis = config.axis_name
+    reading_sharded = axis is not None and config.shard_axis_mode == "reading"
+    ref_sharded = axis is not None and config.shard_axis_mode == "reference"
+    red_axis = axis if reading_sharded else None
 
     def preduce(x):
-        return x if axis is None else jax.lax.psum(x, axis)
+        return jax.lax.psum(x, axis) if reading_sharded else x
 
     M, N = reading_points.shape[0], reference_points.shape[0]
     use_banded = (
@@ -213,6 +228,10 @@ def point_to_plane_icp(
         big = jnp.float32(1e30)
         origin = jnp.min(jnp.where(reference_mask[:, None],
                                    reference_points, big), axis=0)
+        if ref_sharded:
+            # reading rows must align ACROSS map shards for the global-NN
+            # reduction, so the reading's Morton sort must use one origin
+            origin = jax.lax.pmin(origin, axis)
         cell = jnp.float32(config.nn_cell_size)
         rt, rsq, rcodes_s, rperm = banded_prepare(
             reference_points, reference_mask, origin, cell)
@@ -259,6 +278,24 @@ def point_to_plane_icp(
         n = None
         if config.error_metric == "point_to_plane":
             n = pout[:, 3:6] if pout is not None else reference_normals[idx]
+        if ref_sharded:
+            # Global nearest neighbor across map shards: min distance wins,
+            # exact cross-shard ties break toward the lowest shard index,
+            # and the winning shard's (q, n) payload is psum-selected.
+            # After this block every per-point value is replicated, so the
+            # trim/solve below run collective-free.
+            d_min = jax.lax.pmin(dist2, axis)
+            ax_i = jax.lax.axis_index(axis).astype(jnp.int32)
+            sel = jnp.where(dist2 <= d_min, ax_i, jnp.int32(2 ** 30))
+            win = jax.lax.pmin(sel, axis)
+            mine = sel == win
+            payload_local = q if n is None else jnp.concatenate([q, n], 1)
+            payload_g = jax.lax.psum(
+                jnp.where(mine[:, None], payload_local, 0.0), axis)
+            q = payload_g[:, :3]
+            if n is not None:
+                n = payload_g[:, 3:6]
+            dist2 = d_min
         # histogram quantile: ~7x cheaper than sort in the per-iteration loop
         # (psum-reduced under shard_map -> one GLOBAL trim threshold).
         # Unmatched-query sentinels (~3.4e38) must stay OUT of the histogram:
@@ -271,13 +308,13 @@ def point_to_plane_icp(
             bmasks = matched[None, :] & (bucket[None, :]
                                          == jnp.arange(3)[:, None])
             tb = jax.vmap(lambda bm: masked_quantile_hist(
-                dist2, bm, trim_ratio, axis_name=axis))(bmasks)
+                dist2, bm, trim_ratio, axis_name=red_axis))(bmasks)
             if config.max_match_dist > 0.0:
                 tb = jnp.minimum(tb, jnp.float32(config.max_match_dist ** 2))
             thresh = tb[bucket]                                 # (M,)
         else:
             thresh = masked_quantile_hist(dist2, matched, trim_ratio,
-                                          axis_name=axis)
+                                          axis_name=red_axis)
             if config.max_match_dist > 0.0:
                 thresh = jnp.minimum(thresh,
                                      jnp.float32(config.max_match_dist ** 2))
@@ -341,7 +378,8 @@ def point_to_plane_icp(
     def pvary(x):
         # under shard_map the per-point loop outputs are device-varying;
         # the initial carry must carry the same varying-axes type
-        return x if axis is None else jax.lax.pcast(x, axis, to="varying")
+        return (x if not reading_sharded
+                else jax.lax.pcast(x, axis, to="varying"))
 
     init_stats = (
         jnp.zeros((6, 6), jnp.float32),

@@ -189,3 +189,64 @@ def test_collective_stats_accounting():
     s = collective_stats(text)
     assert s["ops"] == {"all-reduce": 2, "all-gather": 1}
     assert s["program_collective_bytes"] == (128 + 36 + 4096) * 4
+
+
+def test_map_sharded_icp_matches_single_device():
+    """Reference(map)-block sharding (SURVEY 2.12-bis): the map is sharded
+    across devices, the reading replicated; the cross-shard NN reduction
+    (pmin + payload psum) must reproduce the single-device solve exactly —
+    the global nearest neighbor is the min over block-local nearest
+    neighbors, so this layout is EXACT, not approximate."""
+    from aicp_mapping_tpu.parallel import map_sharded_point_to_plane_icp
+
+    pts = room_cloud(n=8192, seed=9, noise=0.005)
+    ref = Cloud.from_numpy(pts, capacity=8192)
+    normals, _, _ = estimate_normals(ref.points, ref.mask, k=12)
+    T_pert = np.asarray(se3.make_transform(
+        se3.so3_exp(jnp.array([0.01, -0.015, 0.04])),
+        jnp.array([0.09, -0.07, 0.04])))
+    # replicated reading: a 2048-point subset of the transformed cloud
+    sub = Cloud.from_numpy(
+        np.asarray(ref.points)[::4][: 2048], capacity=2048)
+    reading = sub.transform(jnp.asarray(T_pert))
+
+    mesh = make_mesh(8, axis="points")
+    res_sh = map_sharded_point_to_plane_icp(
+        mesh, reading.points, reading.mask,
+        ref.points, normals, ref.mask, se3.identity(), 0.7)
+    res = point_to_plane_icp(reading.points, reading.mask, ref.points,
+                             normals, ref.mask, se3.identity(),
+                             jnp.float32(0.7))
+    err = np.asarray(res_sh.T) @ T_pert
+    assert np.linalg.norm(err[:3, 3]) < 0.02, err
+    assert float(se3.rotation_angle_deg(jnp.asarray(err))) < 0.3
+    np.testing.assert_allclose(np.asarray(res_sh.T), np.asarray(res.T),
+                               atol=1e-4)
+    np.testing.assert_allclose(np.asarray(res_sh.match_dist2),
+                               np.asarray(res.match_dist2), atol=1e-5)
+
+
+def test_map_sharded_icp_banded_blocks():
+    """Banded NN inside map-block sharding: each shard Morton-sorts its own
+    4096-point block (N_local % 1024 == 0) while the reading sort uses the
+    pmin-global origin so rows align across shards for the NN reduction."""
+    from aicp_mapping_tpu.registration.icp import ICPConfig
+    from aicp_mapping_tpu.parallel import map_sharded_point_to_plane_icp
+
+    pts = room_cloud(n=32768, seed=11, noise=0.005, size=12.0)
+    ref = Cloud.from_numpy(pts, capacity=32768)
+    normals, _, _ = estimate_normals(ref.points, ref.mask, k=12)
+    T_pert = np.asarray(se3.make_transform(
+        se3.so3_exp(jnp.array([0.0, 0.0, 0.03])), jnp.array([0.06, 0.0, 0.0])))
+    sub = Cloud.from_numpy(np.asarray(ref.points)[::16][: 2048],
+                           capacity=2048)
+    reading = sub.transform(jnp.asarray(T_pert))
+
+    cfg = ICPConfig(nn_mode="banded", nn_cell_size=2.0)
+    mesh = make_mesh(8, axis="points")
+    res_sh = map_sharded_point_to_plane_icp(
+        mesh, reading.points, reading.mask,
+        ref.points, normals, ref.mask, se3.identity(), 0.7, cfg)
+    err = np.asarray(res_sh.T) @ T_pert
+    assert np.linalg.norm(err[:3, 3]) < 0.02, err
+    assert float(se3.rotation_angle_deg(jnp.asarray(err))) < 0.3
