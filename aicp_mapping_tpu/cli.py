@@ -26,6 +26,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 
 import numpy as np
@@ -383,6 +384,47 @@ def _cmd_accumulate(args) -> int:
     return 0
 
 
+def _cmd_localize(args) -> int:
+    """Multi-chip localization against a sharded prior map: the map is
+    Morton-split into one block per mesh device and every scan registers
+    against all blocks at once (parallel.ShardedMapLocalizer). The
+    single-process analog is the reference's load-map + localization-only
+    mode (app_ros.cpp:280-322, app.cpp:37-75)."""
+    import numpy as np
+
+    from .io.poses import read_pose_csv, write_kitti_poses
+    from .native import read_cloud
+    from .parallel import ShardedMapLocalizer, make_mesh
+
+    map_pts, _ = read_cloud(args.map)
+    mesh = make_mesh(args.mesh_devices, axis="points")
+    loc = ShardedMapLocalizer(mesh, map_pts, trim_ratio=args.trim_ratio,
+                              max_correction_magnitude=args.max_correction)
+
+    poses = read_pose_csv(os.path.join(args.directory,
+                                       "aicp_input_poses.csv"))
+    out = []
+    for p in poses:
+        path = os.path.join(args.directory,
+                            f"cloud_{p.counter}_{p.sec}_{p.nsec}.pcd")
+        pts, _ = read_cloud(path)
+        # recorded clouds are in the odom frame; the localizer expects the
+        # sensor frame
+        pose = np.asarray(p.pose, np.float64)
+        local = (pts - pose[:3, 3]) @ pose[:3, :3]
+        out.append(loc.localize(local.astype(np.float32), p.pose))
+    if args.output_poses:
+        write_kitti_poses(args.output_poses, np.stack(out))
+    print(json.dumps({
+        "frames": len(out),
+        "map_points": int(len(map_pts)),
+        "mesh_devices": args.mesh_devices,
+        "final_pose_t": [round(float(v), 4) for v in out[-1][:3, 3]],
+        "output": args.output_poses or "",
+    }))
+    return 0
+
+
 def _cmd_slam(args) -> int:
     """End-to-end SLAM: AICP front-end -> overlap-gated loop closures ->
     pose-graph optimization (optionally edge-sharded over a device mesh)
@@ -640,6 +682,17 @@ def build_parser() -> argparse.ArgumentParser:
     cc.add_argument("--voxel", type=float, default=0.0,
                     help="optional voxel downsample of the result")
     cc.set_defaults(func=_cmd_concat)
+
+    lz = sub.add_parser(
+        "localize",
+        help="localize a recorded sequence against a mesh-sharded prior map")
+    lz.add_argument("directory", help="recorded sequence dir")
+    lz.add_argument("--map", required=True, help="prior map (.pcd/.ply/.bin)")
+    lz.add_argument("--mesh-devices", type=int, default=1)
+    lz.add_argument("--trim-ratio", type=float, default=0.7)
+    lz.add_argument("--max-correction", type=float, default=0.5)
+    lz.add_argument("--output-poses", default="")
+    lz.set_defaults(func=_cmd_localize)
 
     sl = sub.add_parser(
         "slam", help="end-to-end SLAM: front-end + loop closures + PGO + BA")

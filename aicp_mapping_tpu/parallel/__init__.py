@@ -17,3 +17,4 @@ from .ba import (  # noqa: F401
     optimize_plane_ba_sharded,
     pad_observations,
 )
+from .localizer import ShardedMapLocalizer, morton_argsort_np  # noqa: F401

@@ -272,3 +272,37 @@ def test_projected_ici_efficiency_meets_target():
     big = project_ici_efficiency(tpu_iter_ms=1.2, n_devices=64,
                                  bytes_per_iter=1856, collectives_per_iter=8)
     assert big["projected_efficiency"] >= 0.6, big
+
+
+def test_sharded_map_localizer_tracks_trajectory():
+    """Online localization against a map sharded across the mesh (the
+    production use of map-block sharding): a drifting-odometry walk through
+    a room world must re-lock onto ground truth every frame, including a
+    first-frame relocalization offset beyond the correction gate."""
+    from aicp_mapping_tpu.parallel import ShardedMapLocalizer
+
+    world = room_cloud(n=40000, size=10.0, seed=13, noise=0.005)
+    mesh = make_mesh(8, axis="points")
+    loc = ShardedMapLocalizer(mesh, world, trim_ratio=0.7,
+                              max_correction_magnitude=0.3)
+
+    rng = np.random.default_rng(4)
+    gt_pose = np.eye(4, dtype=np.float32)
+    offset = np.array([0.6, -0.5, 0.0], np.float32)  # reloc beyond the gate
+    drift = np.zeros(3, np.float32)
+    errs = []
+    for i in range(5):
+        gt_pose = gt_pose.copy()
+        gt_pose[:3, 3] += [0.4, 0.1, 0.0]
+        # sensor-frame scan = world points near the pose, in body frame
+        d = world - gt_pose[:3, 3]
+        near = world[np.linalg.norm(d, axis=1) < 6.0]
+        sel = near[rng.choice(len(near), 4000, replace=False)]
+        local = (sel - gt_pose[:3, 3]) @ gt_pose[:3, :3]
+        drift += rng.normal(0, 0.02, 3).astype(np.float32)
+        odom = gt_pose.copy()
+        odom[:3, 3] += drift + offset
+        corrected = loc.localize(local, odom)
+        errs.append(np.linalg.norm(corrected[:3, 3] - gt_pose[:3, 3]))
+    # first frame absorbs the 0.78 m offset; all frames locked
+    assert max(errs) < 0.06, errs

@@ -360,3 +360,28 @@ def test_cli_draw_octree_and_normals(pair_dir, tmp_path, capsys):
         assert info["segments"] > 0
         text = open(out, "rb").read().decode()
         assert "LINES" in text
+
+
+def test_cli_localize_sharded_map(tmp_path, capsys):
+    """localize subcommand: recorded sequence vs a mesh-sharded prior map."""
+    from aicp_mapping_tpu.io.pcd import write_pcd as wpcd
+    from aicp_mapping_tpu.pipeline.sequence import (SequenceRecorder,
+                                                    synthetic_sequence)
+
+    items, gt = synthetic_sequence(n_frames=3, n_points=5000, seed=6)
+    world = np.concatenate([it[1] for it in items])
+    map_path = str(tmp_path / "prior_map.pcd")
+    wpcd(map_path, world)
+    rec = SequenceRecorder(str(tmp_path / "seq"))
+    for utime, pts, pose in items:
+        rec.record(utime, pts, pose)
+
+    out = str(tmp_path / "loc_poses.txt")
+    rc = cli_main(["localize", str(tmp_path / "seq"), "--map", map_path,
+                   "--mesh-devices", "2", "--output-poses", out])
+    assert rc == 0
+    info = json.loads(capsys.readouterr().out)
+    assert info["frames"] == 3
+    traj = np.loadtxt(out).reshape(3, 3, 4)
+    err = np.linalg.norm(traj[-1][:3, 3] - gt[2][:3, 3])
+    assert err < 0.1, err
