@@ -237,11 +237,7 @@ def plane_segmentation_filter(
     if out_capacity is None:
         return points, keep, normals, curvature, labels
 
-    n = points.shape[0]
-    order_key = jnp.where(keep, 0, 1).astype(jnp.int32)
-    idx = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)[:, 0]
-    _, perm = jax.lax.sort((order_key, idx), num_keys=1)  # stable: kept first
-    perm = perm[:out_capacity]
+    perm = _balanced_compaction_perm(labels, keep)[:out_capacity]
     return (
         points[perm],
         keep[perm],
@@ -249,3 +245,54 @@ def plane_segmentation_filter(
         curvature[perm],
         labels[perm],
     )
+
+
+def _bitrev17(x: jax.Array) -> jax.Array:
+    """Reverse the low 17 bits (supports capacities up to 131072)."""
+    r = jnp.zeros_like(x)
+    for i in range(17):
+        r = r | (((x >> i) & 1) << (16 - i))
+    return r
+
+
+def _balanced_compaction_perm(labels: jax.Array, keep: jax.Array) -> jax.Array:
+    """Cluster-balanced, spatially spread selection order for capacity
+    truncation.
+
+    Truncating kept points in raw index order is a silent failure mode at
+    capacity saturation: the upstream voxel sort leaves points in spatial
+    (voxel-key) order, so the tail that gets cut is a spatially CONTIGUOUS
+    region — entire far walls vanish and ICP loses whole constraint
+    directions with no runtime fault. Instead, points are selected
+    round-robin across clusters (rank within cluster), and within each
+    cluster in bit-reversed positional order, so a cluster that only keeps
+    a prefix keeps a uniformly spread subset rather than one end of the
+    wall. Three lax.sorts of (int32 x2) rows — negligible next to the
+    prefilter's normal pass. When nothing overflows, the SELECTED SET is
+    unchanged (all kept points), only the output ordering differs."""
+    n = labels.shape[0]
+    big = jnp.int32(2 ** 30)
+    idx = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)[:, 0]
+    lbl = jnp.where(keep, labels, big)
+
+    # group by cluster (stable: spatial order within each cluster)
+    _, idx1 = jax.lax.sort((lbl, idx), num_keys=1)
+    lbl1 = lbl[idx1]
+    iota = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)[:, 0]
+    starts = jnp.concatenate([jnp.ones((1,), bool), lbl1[1:] != lbl1[:-1]])
+    start_pos = jax.lax.cummax(jnp.where(starts, iota, 0))
+    pos = iota - start_pos                       # spatial rank within cluster
+
+    # reorder within cluster by bit-reversed position (spreads any prefix
+    # uniformly across the cluster), then recompute the rank
+    _, _, idx2 = jax.lax.sort((lbl1, _bitrev17(pos), idx1), num_keys=2)
+    # grouping (and hence start positions) is unchanged by the within-
+    # cluster reorder
+    rank = pos
+    keep2 = keep[idx2]
+
+    # round-robin across clusters: rank-r points of every cluster before
+    # any rank-(r+1) point; unkept rows sort to the back
+    sel_key = jnp.where(keep2, rank, big)
+    _, perm = jax.lax.sort((sel_key, idx2), num_keys=1)
+    return perm

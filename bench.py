@@ -142,10 +142,76 @@ def bench_app(cfg, items, breakdown=False):
     return rate, lat_ms, max(staged1, staged2), stages
 
 
+def bench_stages(cfg, items):
+    """Per-stage device wall-clock at the wire operating point (enqueue N
+    reps, block once — the only reliable timing method on the tunneled
+    chip, where any per-rep block pays the queue-sync cost)."""
+    import jax
+    import jax.numpy as jnp
+
+    from aicp_mapping_tpu.geometry import se3
+    from aicp_mapping_tpu.ops.segmentation import plane_segmentation_filter
+    from aicp_mapping_tpu.ops.voxel import voxel_downsample, voxel_set_overlap
+    from aicp_mapping_tpu.pipeline.sequence import wire_cloud
+    from aicp_mapping_tpu.registration.icp import point_to_plane_icp
+
+    c0 = jax.device_put(wire_cloud(cfg, items[0][1]))
+    c1 = jax.device_put(wire_cloud(cfg, items[1][1]))
+    vp = jnp.asarray(items[0][2][:3, 3].astype(np.float32))
+
+    @jax.jit
+    def stage_voxel(p, m):
+        return voxel_downsample(p, m, cfg.voxel_size,
+                                cfg.downsample_capacity)
+
+    @jax.jit
+    def stage_seg(p, m, v):
+        return plane_segmentation_filter(
+            p, m, viewpoint=v, normal_k=cfg.prefilter_normal_k,
+            graph_k=cfg.graph_k, smoothness_deg=cfg.smoothness_deg,
+            min_cluster_size=cfg.min_cluster_size,
+            out_capacity=cfg.filtered_capacity,
+            method=cfg.segmentation_method,
+            normal_radius=cfg.normal_radius)
+
+    @jax.jit
+    def stage_overlap(a, am, b, bm):
+        return voxel_set_overlap(a, am, b, bm, cfg.octree_resolution)
+
+    @jax.jit
+    def stage_icp(rp, rm, fp, fn_, fm):
+        return point_to_plane_icp(rp, rm, fp, fn_, fm, se3.identity(),
+                                  jnp.float32(0.6), cfg.icp).T
+
+    dp, dm = stage_voxel(c0.points, c0.mask)
+    f0 = stage_seg(dp, dm, vp)
+    dp1, dm1 = stage_voxel(c1.points, c1.mask)
+    f1 = stage_seg(dp1, dm1, vp)
+    jax.block_until_ready(
+        (stage_overlap(f0[0], f0[1], f1[0], f1[1]),
+         stage_icp(f1[0], f1[1], f0[0], f0[2], f0[1])))
+
+    def rate(fn, *args, n=40):
+        jax.block_until_ready([fn(*args) for _ in range(4)])
+        t0 = time.perf_counter()
+        jax.block_until_ready([fn(*args) for _ in range(n)])
+        return round((time.perf_counter() - t0) / n * 1e3, 3)
+
+    return {
+        "voxel_ms": rate(stage_voxel, c0.points, c0.mask),
+        "segmentation_ms": rate(stage_seg, dp, dm, vp),
+        "overlap_ms": rate(stage_overlap, f0[0], f0[1], f1[0], f1[1]),
+        "icp_ms": rate(stage_icp, f1[0], f1[1], f0[0], f0[2], f0[1]),
+    }
+
+
 def main() -> None:
     parser = argparse.ArgumentParser()
     parser.add_argument("--breakdown", action="store_true",
                         help="add per-stage wall-clock to the JSON line")
+    parser.add_argument("--stages", action="store_true",
+                        help="add per-stage device microbench "
+                             "(voxel/segmentation/overlap/ICP) to the line")
     parser.add_argument("--trace", metavar="LOGDIR",
                         help="capture a jax.profiler trace of the fused "
                              "steady-state loop into LOGDIR")
@@ -198,6 +264,8 @@ def main() -> None:
     if args.breakdown:
         record["stage_ms"] = {k: round(v["mean_ms"], 3)
                               for k, v in stages.items()}
+    if args.stages:
+        record["device_stage_ms"] = bench_stages(cfg, items)
     print(json.dumps(record))
 
 

@@ -188,3 +188,45 @@ def test_normal_space_trim_beats_ground_shadowing():
     assert np.linalg.norm(t_global + offset) > 0.2, t_global
     # normal-space trim: recovers it
     assert np.linalg.norm(t_bucket + offset) < 0.03, t_bucket
+
+
+REFERENCE_DATA = "/root/reference/aicp_core/data"
+
+
+@pytest.mark.skipif(not __import__("os").path.isdir(REFERENCE_DATA),
+                    reason="reference dataset not present")
+@pytest.mark.parametrize("scan", ["scan_00.csv", "scan_01.csv",
+                                  "scan_02.csv"])
+def test_reference_real_planar_scans_register(scan):
+    """Registration on the reference's REAL shipped sensor scans
+    (aicp_core/data/scan_00..02.csv, 2D planar lidar): self-registration
+    under a known in-plane perturbation must recover it — the reference's
+    own validation pattern (cube self-registration,
+    registration_main.cpp:331-343) applied to its real data. Planar scans
+    leave z/roll/pitch unconstrained, so the degeneracy-aware solve holds
+    those at the prior (the 2D-lidar analog of corridor degeneracy)."""
+    import os
+
+    from aicp_mapping_tpu.io.planar import planar_to_cloud, read_planar_csv
+    from aicp_mapping_tpu.registration.icp import ICPConfig
+
+    pts2 = read_planar_csv(os.path.join(REFERENCE_DATA, scan))
+    assert pts2.shape[0] > 2000  # real scan, not a stub
+    pts = planar_to_cloud(pts2)
+    ref = Cloud.from_numpy(pts, capacity=4096)
+
+    # known in-plane perturbation: 8 cm translation + 3 deg yaw
+    T_pert = se3.make_transform(
+        se3.so3_exp(jnp.array([0.0, 0.0, np.deg2rad(3.0)])),
+        jnp.array([0.06, -0.05, 0.0]))
+    reading = Cloud(se3.transform_points(T_pert, ref.points), ref.mask)
+
+    cfg = ICPConfig(error_metric="point_to_point", degeneracy_threshold=20.0)
+    res = point_to_plane_icp(reading.points, reading.mask, ref.points,
+                             jnp.zeros_like(ref.points), ref.mask,
+                             se3.identity(), jnp.float32(0.85), cfg)
+    err = se3.compose(res.T, T_pert)
+    t_err = float(jnp.linalg.norm(se3.translation(err)[:2]))
+    yaw_err = float(se3.rotation_angle_deg(err))
+    assert t_err < 0.02, (scan, t_err)
+    assert yaw_err < 0.5, (scan, yaw_err)

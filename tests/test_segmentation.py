@@ -70,3 +70,49 @@ def test_plane_segmentation_filter_compacts():
     # must survive, compacted to the front
     assert n_kept >= 0.97 * 600, n_kept
     assert bool(jnp.all(fmask[:n_kept]))
+
+
+def test_capacity_overflow_keeps_all_clusters_spread():
+    """Capacity truncation must be cluster-balanced and spatially spread:
+    raw-index truncation cuts a spatially contiguous chunk (the voxel sort
+    leaves spatial order), silently deleting whole far walls. With a
+    dominant ground cluster and two sparse walls at out_capacity << kept
+    count, every cluster must survive, and each cluster's retained points
+    must span its extent rather than one end."""
+    from aicp_mapping_tpu.ops.segmentation import plane_segmentation_filter
+
+    rng = np.random.default_rng(0)
+    n_g, n_w = 3000, 500
+    g = np.stack([rng.uniform(-10, 10, n_g), rng.uniform(-10, 10, n_g),
+                  np.zeros(n_g)], 1)
+    wx = np.stack([np.full(n_w, 8.0), rng.uniform(-10, 10, n_w),
+                   rng.uniform(0.2, 3, n_w)], 1)
+    wy = np.stack([rng.uniform(-10, 10, n_w), np.full(n_w, -9.0),
+                   rng.uniform(0.2, 3, n_w)], 1)
+    pts = np.concatenate([g, wx, wy]).astype(np.float32)
+    pts += rng.normal(0, 0.004, pts.shape).astype(np.float32)
+    cloud = Cloud.from_numpy(pts, capacity=4096)
+
+    cap = 1024  # far below the ~4000 kept points
+    fpts, fmask, fnrm, _, _ = plane_segmentation_filter(
+        cloud.points, cloud.mask, viewpoint=jnp.zeros(3, jnp.float32),
+        normal_k=12, graph_k=8, smoothness_deg=10.0, min_cluster_size=50,
+        out_capacity=cap, method="region_growing")
+    out = np.asarray(fpts)[np.asarray(fmask)]
+    nrm = np.abs(np.asarray(fnrm)[np.asarray(fmask)])
+    assert len(out) == cap
+
+    # classify retained points by dominant normal axis
+    axis = np.argmax(nrm, axis=1)
+    counts = np.bincount(axis, minlength=3)
+    # all three orientation classes survive with a real share
+    assert counts.min() > cap // 8, counts
+    # spread: the x-wall's retained points span most of its y extent
+    xwall = out[(axis == 0)]
+    if len(xwall) > 10:
+        span = xwall[:, 1].max() - xwall[:, 1].min()
+        assert span > 12.0, span  # wall is 20 m wide
+    # ground spans both x and y
+    ground = out[axis == 2]
+    assert ground[:, 0].max() - ground[:, 0].min() > 14.0
+    assert ground[:, 1].max() - ground[:, 1].min() > 14.0
