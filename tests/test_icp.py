@@ -230,3 +230,29 @@ def test_reference_real_planar_scans_register(scan):
     yaw_err = float(se3.rotation_angle_deg(err))
     assert t_err < 0.02, (scan, t_err)
     assert yaw_err < 0.5, (scan, yaw_err)
+
+
+def test_coarse_to_fine_matches_plain():
+    """Coarse-to-fine ICP (first iterations on a strided reading) must land
+    on the same solution as the plain solver — the final full-resolution
+    iterations share its fixed point."""
+    pts = room_cloud(n=4096, size=8.0, seed=21, noise=0.005)
+    ref, normals = _prep_reference(pts, 4096)
+    T_pert = _perturb(3, trans_sigma=0.08, rot_sigma_deg=4.0)
+    reading = Cloud(se3.transform_points(T_pert, ref.points), ref.mask)
+
+    res_plain = point_to_plane_icp(
+        reading.points, reading.mask, ref.points, normals, ref.mask,
+        se3.identity(), jnp.float32(0.7), ICPConfig())
+    res_c2f = point_to_plane_icp(
+        reading.points, reading.mask, ref.points, normals, ref.mask,
+        se3.identity(), jnp.float32(0.7),
+        ICPConfig(coarse_iterations=4, coarse_decimation=4))
+
+    for T in (res_plain.T, res_c2f.T):
+        err = se3.compose(T, T_pert)
+        assert float(jnp.linalg.norm(se3.translation(err))) < 0.02
+        assert float(se3.rotation_angle_deg(err)) < 0.3
+    np.testing.assert_allclose(np.asarray(res_c2f.T),
+                               np.asarray(res_plain.T), atol=2e-3)
+    assert int(res_c2f.n_iterations) > 4  # both phases ran
