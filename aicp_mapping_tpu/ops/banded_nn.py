@@ -99,6 +99,34 @@ def banded_prepare(refs, rmask, origin, cell_size):
     return rt, rsq, rcodes[rperm], rperm
 
 
+def banded_prepare_payload(refs, rmask, extra, origin, cell_size,
+                           pad_to: int = 8):
+    """`banded_prepare` + payload reorder in ONE payload-carrying lax.sort.
+
+    The reference coordinates, mask and `extra` columns (e.g. normals) ride
+    the Morton-code sort as sort payload operands instead of post-sort HBM
+    gathers — TPU gathers run ~130 M elem/s, so `payload[rperm]` on an
+    (8k, 8) payload costs more than the sort itself. Returns
+    (rt (3, N), rsq (1, N) +BIG pads, rcodes_sorted (N,),
+    pay_t (pad_to, N) rows = [x y z extra... 0-pad]) — the layout
+    `nn_payload_banded_resident` consumes."""
+    n = refs.shape[0]
+    rcodes = morton_codes(refs, rmask, origin, cell_size)
+    cols = [refs[:, 0], refs[:, 1], refs[:, 2], rmask.astype(jnp.float32)]
+    if extra is not None:
+        cols += [extra[:, i] for i in range(extra.shape[1])]
+    out = jax.lax.sort(tuple([rcodes] + cols), num_keys=1)
+    rcodes_s = out[0]
+    rt = jnp.stack(out[1:4], 0).astype(jnp.float32)
+    ms = out[4] > 0.5
+    rsq = jnp.sum(rt * rt, axis=0)[None, :]
+    rsq = jnp.where(ms[None, :], rsq, _BIG)
+    pay_rows = [out[1], out[2], out[3], *out[5:]]
+    pay_rows += [jnp.zeros((n,), jnp.float32)] * (pad_to - len(pay_rows))
+    pay_t = jnp.stack(pay_rows, 0)
+    return rt, rsq, rcodes_s, pay_t
+
+
 @partial(jax.jit, static_argnames=("band", "tm", "tn", "interpret"))
 def nn_argmin_banded_prepared(queries, qmask, rt, rsq, rcodes_s, rperm,
                               origin, cell_size, band: int = 8,

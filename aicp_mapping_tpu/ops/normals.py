@@ -213,28 +213,21 @@ def _banded_moments_kernel(starts_ref, qt_ref, rt3_ref, rsq3_ref, f3_ref,
         0, band, step, jnp.zeros((16, tm), jnp.float32))
 
 
-@partial(jax.jit, static_argnames=("radius", "cell_size", "band", "tm", "tn",
+@partial(jax.jit, static_argnames=("radius", "band", "tm", "tn",
                                    "interpret"))
-def _radius_moments_banded(points, mask, radius, cell_size: float = 2.0,
-                           band: int = 8, tm: int = 512, tn: int = 1024,
-                           interpret: bool = False):
-    """Morton-banded neighborhood moments: sort once, each query tile only
-    scans `band` reference tiles around its code bracket. Exact for
-    neighbors inside the window (cell_size >> radius keeps same-cell
-    neighbors contiguous); misses truncate a neighborhood slightly, which
-    the prefilter's normal/curvature consumers tolerate. Returns (N, 10)
-    moments in the ORIGINAL point order."""
-    from .banded_nn import banded_window_starts, morton_codes
+def sorted_radius_moments(ps, ms, codes_s, radius, band: int = 8,
+                          tm: int = 512, tn: int = 1024,
+                          interpret: bool = False):
+    """Banded neighborhood moments for an already Morton-sorted cloud
+    (codes ascending, invalid at the back): returns (N, 10) moments in the
+    SAME sorted order — no sorts and no gathers, for callers that keep the
+    whole prefilter in sorted space (TPU gathers run ~130 M elem/s; the
+    inverse permutation of a (16k, 10) moment matrix costs more than the
+    moment kernel itself)."""
+    from .banded_nn import banded_window_starts
 
-    N = points.shape[0]
+    N = ps.shape[0]
     big = jnp.float32(3.4e38)
-    origin = jnp.min(jnp.where(mask[:, None], points, big), axis=0)
-    codes = morton_codes(points, mask, origin, jnp.float32(cell_size))
-    perm = jnp.argsort(codes)
-    ps = points[perm]
-    ms = mask[perm]
-    codes_s = codes[perm]
-
     m_f = ms.astype(jnp.float32)
     x, y, z = ps[:, 0], ps[:, 1], ps[:, 2]
     F = jnp.stack([x, y, z, x * x, y * y, z * z, x * y, x * z, y * z,
@@ -273,8 +266,31 @@ def _radius_moments_banded(points, mask, radius, cell_size: float = 2.0,
         ),
         interpret=interpret,
     )(starts.reshape(1, G), qt, rt3, rsq3, f3)
+    return out[:10].T                                         # (N, 10)
+
+
+@partial(jax.jit, static_argnames=("radius", "cell_size", "band", "tm", "tn",
+                                   "interpret"))
+def _radius_moments_banded(points, mask, radius, cell_size: float = 2.0,
+                           band: int = 8, tm: int = 512, tn: int = 1024,
+                           interpret: bool = False):
+    """Morton-banded neighborhood moments: sort once, each query tile only
+    scans `band` reference tiles around its code bracket. Exact for
+    neighbors inside the window (cell_size >> radius keeps same-cell
+    neighbors contiguous); misses truncate a neighborhood slightly, which
+    the prefilter's normal/curvature consumers tolerate. Returns (N, 10)
+    moments in the ORIGINAL point order."""
+    from .banded_nn import morton_codes
+
+    big = jnp.float32(3.4e38)
+    origin = jnp.min(jnp.where(mask[:, None], points, big), axis=0)
+    codes = morton_codes(points, mask, origin, jnp.float32(cell_size))
+    perm = jnp.argsort(codes)
+    out_sorted = sorted_radius_moments(points[perm], mask[perm], codes[perm],
+                                       radius, band=band, tm=tm, tn=tn,
+                                       interpret=interpret)
     inv = jnp.argsort(perm)
-    return out[:10].T[inv]                                    # (N, 10)
+    return out_sorted[inv]                                    # (N, 10)
 
 
 @partial(jax.jit, static_argnames=("radius", "block"))
@@ -304,29 +320,47 @@ def radius_normals(points: jax.Array, mask: jax.Array, radius: float,
     elif _on_tpu() and N % 1024 == 0 and N % 512 == 0:
         M = _radius_moments_pallas(points, mask, radius)
     else:
-        x, y, z = points[:, 0], points[:, 1], points[:, 2]
-        m_f = mask.astype(dtype)
-        F = jnp.stack([x, y, z, x * x, y * y, z * z, x * y, x * z, y * z,
-                       jnp.ones_like(x)], axis=1) * m_f[:, None]  # (N, 10)
-        r2 = jnp.sum(points * points, axis=-1)
-        r2m = jnp.where(mask, r2, jnp.float32(3.4e38))
-        rad2 = jnp.float32(radius * radius)
+        M = _radius_moments_xla(points, mask, radius, block=block)
+    return moments_to_normals(M, points, mask, viewpoint)
 
-        nblocks = _num_blocks(N, block)
-        qb = points.reshape(nblocks, -1, 3)
 
-        def body(q):
-            # HIGHEST: the radius test needs f32-exact distances (bf16 TPU
-            # default is ~14 m^2 off at 60 m coordinates), and the moment
-            # accumulation carries x^2-scale values
-            d = (jnp.sum(q * q, axis=-1)[:, None]
-                 - 2.0 * jnp.matmul(q, points.T,
-                                    precision=jax.lax.Precision.HIGHEST)
-                 + r2m[None, :])
-            w = (d <= rad2).astype(dtype)                        # (B, N)
-            return jnp.matmul(w, F, precision=jax.lax.Precision.HIGHEST)
+def _radius_moments_xla(points, mask, radius, block: int = 2048):
+    """Exhaustive (N, 10) neighborhood moments via blocked XLA matmuls —
+    the CPU/odd-shape fallback; order-agnostic."""
+    from .knn import _num_blocks
 
-        M = jax.lax.map(body, qb).reshape(N, 10)
+    N = points.shape[0]
+    dtype = points.dtype
+    x, y, z = points[:, 0], points[:, 1], points[:, 2]
+    m_f = mask.astype(dtype)
+    F = jnp.stack([x, y, z, x * x, y * y, z * z, x * y, x * z, y * z,
+                   jnp.ones_like(x)], axis=1) * m_f[:, None]  # (N, 10)
+    r2 = jnp.sum(points * points, axis=-1)
+    r2m = jnp.where(mask, r2, jnp.float32(3.4e38))
+    rad2 = jnp.float32(radius * radius)
+
+    nblocks = _num_blocks(N, block)
+    qb = points.reshape(nblocks, -1, 3)
+
+    def body(q):
+        # HIGHEST: the radius test needs f32-exact distances (bf16 TPU
+        # default is ~14 m^2 off at 60 m coordinates), and the moment
+        # accumulation carries x^2-scale values
+        d = (jnp.sum(q * q, axis=-1)[:, None]
+             - 2.0 * jnp.matmul(q, points.T,
+                                precision=jax.lax.Precision.HIGHEST)
+             + r2m[None, :])
+        w = (d <= rad2).astype(dtype)                        # (B, N)
+        return jnp.matmul(w, F, precision=jax.lax.Precision.HIGHEST)
+
+    return jax.lax.map(body, qb).reshape(N, 10)
+
+
+def moments_to_normals(M: jax.Array, points: jax.Array, mask: jax.Array,
+                       viewpoint: jax.Array | None = None):
+    """(N, 10) neighborhood moments -> (normals, curvature, n_neighbors):
+    cov = E[xx^T] - mu mu^T, closed-form smallest-eigenvector, optional
+    viewpoint orientation flip. Order-preserving and elementwise."""
     cnt = jnp.maximum(M[:, 9], 1.0)
     mean = M[:, 0:3] / cnt[:, None]
     exx = M[:, 3:6] / cnt[:, None]                               # xx yy zz

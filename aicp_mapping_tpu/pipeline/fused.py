@@ -38,6 +38,17 @@ class FusedFrameOutput:
     filtered_mask: jax.Array    # (F,)
 
 
+def _pre_voxelized(cfg: PipelineConfig, n_points: int) -> bool:
+    """True when an input cloud of static size `n_points` already went
+    through the host wire voxel filter (PipelineConfig.wire_voxel at a leaf
+    >= the device voxel size): the device voxel stage would be a no-op
+    re-bucketing, so it is skipped (~1 ms/frame on chip). Raw full-capacity
+    clouds (n_points > downsample_capacity) always voxelize on device — the
+    check is shape-static, so one App serves both wire and raw uploads."""
+    return (0.0 < cfg.voxel_size <= cfg.wire_voxel
+            and n_points <= cfg.downsample_capacity)
+
+
 def make_frame_step(cfg: PipelineConfig):
     """Returns a jitted fn:
     (reading_points, reading_mask, reading_viewpoint,
@@ -48,8 +59,12 @@ def make_frame_step(cfg: PipelineConfig):
     def frame_step(reading_points, reading_mask, reading_viewpoint,
                    ref_points, ref_normals, ref_mask, init_T):
         # Pre-filter: voxel 0.08 + planes-only (filteringUtils.cpp:5-45)
-        dpts, dmask = voxel_downsample(reading_points, reading_mask,
-                                       cfg.voxel_size, cfg.downsample_capacity)
+        if _pre_voxelized(cfg, reading_points.shape[0]):
+            dpts, dmask = reading_points, reading_mask
+        else:
+            dpts, dmask = voxel_downsample(
+                reading_points, reading_mask,
+                cfg.voxel_size, cfg.downsample_capacity)
         fpts, fmask, _, _, _ = plane_segmentation_filter(
             dpts, dmask, viewpoint=reading_viewpoint,
             normal_k=cfg.prefilter_normal_k, graph_k=cfg.graph_k,
@@ -165,9 +180,15 @@ def make_app_frame_step(cfg: PipelineConfig, with_risk: bool,
             pts = raw_points
         viewpoint = read_pose[:3, 3]
 
-        # Pre-filter: voxel + planes-only (filteringUtils.cpp:5-45)
-        dpts, dmask = voxel_downsample(pts, raw_mask, cfg.voxel_size,
-                                       cfg.downsample_capacity)
+        # Pre-filter: voxel + planes-only (filteringUtils.cpp:5-45).
+        # Wire-voxelized clouds (host native pre-downsample) skip the
+        # device re-voxelization; the debug-mode rigid transform above only
+        # shifts bucket boundaries of an already-uniform cloud.
+        if _pre_voxelized(cfg, raw_points.shape[0]):
+            dpts, dmask = pts, raw_mask
+        else:
+            dpts, dmask = voxel_downsample(pts, raw_mask, cfg.voxel_size,
+                                           cfg.downsample_capacity)
         fpts, fmask, fnormals, _, _ = plane_segmentation_filter(
             dpts, dmask, viewpoint=viewpoint,
             normal_k=cfg.prefilter_normal_k, graph_k=cfg.graph_k,
@@ -270,8 +291,11 @@ def make_reference_prep(cfg: PipelineConfig):
 
     @jax.jit
     def prep(points, mask, viewpoint):
-        dpts, dmask = voxel_downsample(points, mask, cfg.voxel_size,
-                                       cfg.downsample_capacity)
+        if _pre_voxelized(cfg, points.shape[0]):
+            dpts, dmask = points, mask
+        else:
+            dpts, dmask = voxel_downsample(points, mask, cfg.voxel_size,
+                                           cfg.downsample_capacity)
         fpts, fmask, fnormals, _, _ = plane_segmentation_filter(
             dpts, dmask, viewpoint=viewpoint,
             normal_k=cfg.prefilter_normal_k, graph_k=cfg.graph_k,

@@ -252,7 +252,7 @@ def point_to_plane_icp(
     use_payload = use_pallas and not use_banded
 
     if use_banded:
-        from ..ops.banded_nn import (banded_blocks, banded_prepare,
+        from ..ops.banded_nn import (banded_blocks, banded_prepare_payload,
                                      banded_window_starts, morton_codes,
                                      nn_payload_banded_resident)
 
@@ -274,9 +274,10 @@ def point_to_plane_icp(
             # reduction, so the reading's Morton sort must use one origin
             origin = jax.lax.pmin(origin, axis)
         cell = jnp.float32(config.nn_cell_size)
-        rt, rsq, rcodes_s, rperm = banded_prepare(
-            reference_points, reference_mask, origin, cell)
-        pay_t = payload[rperm].T                               # (8, N)
+        extra = (reference_normals
+                 if config.error_metric == "point_to_plane" else None)
+        rt, rsq, rcodes_s, pay_t = banded_prepare_payload(
+            reference_points, reference_mask, extra, origin, cell)
         rt3, rsq3, pay3 = banded_blocks(rt, rsq, pay_t)
         # Sort the reading ONCE by its initial-transform Morton codes and
         # run the whole ICP in sorted order: every loop reduction (trim
@@ -286,10 +287,17 @@ def point_to_plane_icp(
         # per-iteration query argsort of the naive formulation disappears.
         p0 = se3.transform_points(init_T.astype(jnp.float32), reading_points)
         qcodes0 = morton_codes(p0, reading_mask, origin, cell)
-        qperm = jnp.argsort(qcodes0)
+        # payload-carrying sort (coords + mask + original index ride the
+        # code sort; gathers at TPU's ~130 M elem/s would cost more)
+        q_iota = jax.lax.broadcasted_iota(
+            jnp.int32, (reading_points.shape[0], 1), 0)[:, 0]
+        _, wx, wy, wz, wm, qperm = jax.lax.sort(
+            (qcodes0, reading_points[:, 0], reading_points[:, 1],
+             reading_points[:, 2], reading_mask.astype(jnp.float32), q_iota),
+            num_keys=1)
         inv_q = jnp.argsort(qperm)
-        work_points = reading_points[qperm]
-        work_mask = reading_mask[qperm]
+        work_points = jnp.stack([wx, wy, wz], axis=1)
+        work_mask = wm > 0.5
     else:
         work_points = reading_points
         work_mask = reading_mask

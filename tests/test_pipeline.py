@@ -288,3 +288,43 @@ def test_wire_format_directory_replay(tmp_path, seq):
         assert a.accepted == b.accepted
         np.testing.assert_allclose(a.corrected_pose[:3, 3],
                                    b.corrected_pose[:3, 3], atol=0.03)
+
+
+def test_device_voxel_skip_for_wire_clouds():
+    """A host-voxelized wire cloud skips the device re-voxelization
+    (fused._pre_voxelized): the fused frame step must produce the same
+    registration as the path that re-voxelizes on device."""
+    import jax.numpy as jnp
+
+    from aicp_mapping_tpu import native
+    from aicp_mapping_tpu.geometry import se3
+    from aicp_mapping_tpu.ops.normals import estimate_normals
+    from aicp_mapping_tpu.pipeline.fused import _pre_voxelized, make_frame_step
+    from aicp_mapping_tpu.tools.synthetic import room_cloud
+
+    cfg_skip = small_config(wire_voxel=0.08)
+    cfg_full = small_config()
+    assert _pre_voxelized(cfg_skip, cfg_skip.downsample_capacity)
+    assert not _pre_voxelized(cfg_skip, cfg_skip.raw_capacity)
+    assert not _pre_voxelized(cfg_full, cfg_full.downsample_capacity)
+
+    world = room_cloud(n=6000, size=8.0, seed=5, noise=0.01)
+    wire = native.voxel_downsample(world.astype(np.float32), 0.08,
+                                   capacity=cfg_skip.downsample_capacity)
+    reading = Cloud.from_numpy(wire, capacity=cfg_skip.downsample_capacity)
+    ref = Cloud.from_numpy(world[::2], capacity=cfg_skip.filtered_capacity)
+    normals, _, _ = estimate_normals(ref.points, ref.mask, k=12)
+    vp = jnp.zeros((3,), jnp.float32)
+
+    out_skip = make_frame_step(cfg_skip)(
+        reading.points, reading.mask, vp,
+        ref.points, normals, ref.mask, se3.identity())
+    out_full = make_frame_step(cfg_full)(
+        reading.points, reading.mask, vp,
+        ref.points, normals, ref.mask, se3.identity())
+    # identical input cloud, one device re-bucketing apart: registration
+    # must agree to well under the voxel size
+    np.testing.assert_allclose(np.asarray(out_skip.correction),
+                               np.asarray(out_full.correction), atol=5e-3)
+    assert abs(float(out_skip.overlap_percent)
+               - float(out_full.overlap_percent)) < 5.0
