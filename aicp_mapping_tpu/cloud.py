@@ -88,6 +88,18 @@ class Cloud:
         return Cloud(jnp.asarray(pts), jnp.asarray(mask))
 
     @staticmethod
+    def from_wire_q16(q: np.ndarray, scale: np.ndarray, center: np.ndarray,
+                      count: int) -> "Cloud":
+        """Wrap a pre-quantized int16 wire payload (see
+        native.voxel_downsample_q16): ships `q` over the wire and
+        dequantizes on device — the zero-copy fast path of
+        from_numpy(quantize=True) for hosts that already hold the
+        fixed-point buffer."""
+        return _dequantize_cloud(
+            jnp.asarray(q), jnp.asarray(np.asarray(scale, np.float32)),
+            jnp.asarray(np.asarray(center, np.float32)), np.int32(count))
+
+    @staticmethod
     def from_numpy_padded(points: np.ndarray, mask: np.ndarray) -> "Cloud":
         """Wrap an already-padded (capacity, 3) buffer + mask (zero-copy on
         the host side; used by the native prefetcher)."""

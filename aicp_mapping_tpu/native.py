@@ -45,6 +45,10 @@ def _bind(lib: ctypes.CDLL) -> ctypes.CDLL:
     lib.aicp_voxel_downsample.restype = ctypes.c_long
     lib.aicp_voxel_downsample.argtypes = [
         _c_float_p, ctypes.c_long, ctypes.c_float, _c_float_p, ctypes.c_long]
+    lib.aicp_voxel_downsample_q16.restype = ctypes.c_long
+    lib.aicp_voxel_downsample_q16.argtypes = [
+        _c_float_p, ctypes.c_long, ctypes.c_float,
+        ctypes.POINTER(ctypes.c_short), ctypes.c_long, _c_float_p, _c_float_p]
     lib.aicp_accum_create.restype = ctypes.c_void_p
     lib.aicp_accum_create.argtypes = [ctypes.c_long, ctypes.c_int,
                                       ctypes.c_float, ctypes.c_float]
@@ -172,6 +176,37 @@ def voxel_downsample(points: np.ndarray, voxel: float,
                                   pts.shape[0], ctypes.c_float(voxel),
                                   out.ctypes.data_as(_c_float_p), cap)
     return out[:n]
+
+
+def voxel_downsample_q16(points: np.ndarray, voxel: float, capacity: int
+                         ) -> tuple[np.ndarray, np.ndarray, np.ndarray, int]:
+    """Fused voxel downsample + int16 wire quantization in one native pass:
+    returns (q (capacity,3) int16 zero-padded, scale (3,), center (3,),
+    count). Dequantization: p = q * scale + center — byte-identical to
+    Cloud.from_numpy(voxel_downsample(...), quantize=True)'s wire payload."""
+    pts = np.ascontiguousarray(points, np.float32).reshape(-1, 3)
+    lib = load()
+    if lib is None:
+        ds = _voxel_downsample_py(pts, voxel, capacity)
+        n = ds.shape[0]
+        q = np.zeros((capacity, 3), np.int16)
+        if n:
+            lo, hi = ds.min(axis=0), ds.max(axis=0)
+            center = ((hi + lo) * 0.5).astype(np.float32)
+            scale = np.maximum((hi - lo) / 65534.0, 1e-6).astype(np.float32)
+            q[:n] = np.round((ds - center) / scale)
+        else:
+            center = np.zeros(3, np.float32)
+            scale = np.full(3, 1e-6, np.float32)
+        return q, scale, center, n
+    q = np.empty((capacity, 3), np.int16)
+    scale = np.empty(3, np.float32)
+    center = np.empty(3, np.float32)
+    n = lib.aicp_voxel_downsample_q16(
+        pts.ctypes.data_as(_c_float_p), pts.shape[0], ctypes.c_float(voxel),
+        q.ctypes.data_as(ctypes.POINTER(ctypes.c_short)), capacity,
+        scale.ctypes.data_as(_c_float_p), center.ctypes.data_as(_c_float_p))
+    return q, scale, center, int(n)
 
 
 def _voxel_downsample_py(pts: np.ndarray, voxel: float, cap: int) -> np.ndarray:

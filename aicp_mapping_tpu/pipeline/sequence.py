@@ -33,6 +33,14 @@ def wire_cloud(cfg: PipelineConfig, pts: np.ndarray,
     if cfg.wire_voxel > 0.0:
         from .. import native
 
+        if cfg.quantized_upload:
+            # fused native pass: voxel + int16 quantize in ~1 ms for a 60k
+            # cloud (the split voxel-then-Cloud.from_numpy path costs ~8 ms
+            # and was the App's host-side bottleneck)
+            q, scale, center, n = native.voxel_downsample_q16(
+                np.asarray(pts, np.float32), cfg.wire_voxel,
+                cfg.downsample_capacity)
+            return Cloud.from_wire_q16(q, scale, center, n)
         pts = native.voxel_downsample(np.asarray(pts, np.float32),
                                       cfg.wire_voxel,
                                       capacity=cfg.downsample_capacity)

