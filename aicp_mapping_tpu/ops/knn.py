@@ -38,6 +38,59 @@ def _on_tpu() -> bool:
         return False
 
 
+# ---------------------------------------------------------------------------
+# bf16 split-product machinery (shared by the NN and moments kernels)
+# ---------------------------------------------------------------------------
+
+def split3_bf16(x: jax.Array):
+    """Exact 3-way bf16 decomposition of f32: x == hi + mid + lo to full
+    f32 mantissa width (8+8+8 >= 24 bits).
+
+    The truncation is done by masking the low 16 mantissa bits with integer
+    ops, NOT by dtype round-trips: under --xla_allow_excess_precision
+    (set by the TPU runtime here) XLA may elide an f32->bf16->f32 rounding
+    pair entirely, silently collapsing the split to plain bf16 (measured
+    on-chip: neighborhood counts off by ~100)."""
+    def trunc(v):
+        b = jax.lax.bitcast_convert_type(v, jnp.uint32)
+        return jax.lax.bitcast_convert_type(
+            b & jnp.uint32(0xFFFF0000), jnp.float32)
+
+    hi = trunc(x)
+    r1 = x - hi
+    mid = trunc(r1)
+    lo = r1 - mid
+    # hi/mid fit bf16 exactly (low mantissa bits are zero); lo rounds once
+    return (hi.astype(jnp.bfloat16), mid.astype(jnp.bfloat16),
+            lo.astype(jnp.bfloat16))
+
+
+def cross_pack_q(pts_t: jax.Array, rows: int = 32) -> jax.Array:
+    """Query-side packing for the bf16 split-product distance matmul.
+
+    A f32-accurate q.r contraction on the MXU costs 6 bf16 passes
+    (Precision.HIGHEST); instead both operands are 3-way bf16 split and the
+    six leading term pairs (hh, hm, mh, hl, lh, mm) are stacked along the
+    CONTRACTION axis — one K=18 bf16 matmul computes their sum exactly,
+    same pass count as K=3 (one 128-wide K tile), 6x fewer MXU passes.
+    Dropped terms (ml, lm, ll) are <= 2^-24 relative: ~1e-3 m^2 absolute on
+    3600 m^2 products (60 m lidar coordinates) — immaterial for both the
+    0.16 m^2 radius test and NN match selection. Rows are zero-padded to
+    `rows` for bf16 sublane tiling."""
+    h, m, l = split3_bf16(pts_t)                     # each (3, N) bf16
+    q = jnp.concatenate([h, h, m, h, l, m], axis=0)  # (18, N)
+    return jnp.concatenate(
+        [q, jnp.zeros((rows - 18, pts_t.shape[1]), jnp.bfloat16)], axis=0)
+
+
+def cross_pack_r(pts_t: jax.Array, rows: int = 32) -> jax.Array:
+    """Reference-side pairing for `cross_pack_q` (hh, hm, mh, hl, lh, mm)."""
+    h, m, l = split3_bf16(pts_t)
+    r = jnp.concatenate([h, m, h, l, h, m], axis=0)
+    return jnp.concatenate(
+        [r, jnp.zeros((rows - 18, pts_t.shape[1]), jnp.bfloat16)], axis=0)
+
+
 def _num_blocks(m: int, block: int) -> int:
     """Largest divisor of m not exceeding ceil(m / block) (static python)."""
     target = max(-(-m // block), 1)
@@ -264,6 +317,113 @@ def _nn_payload_packed_kernel(qt_ref, rt_ref, rsq_ref, pay_ref, dist_ref,
     dist_ref[0, :] = jax.lax.bitcast_convert_type(
         best_k & jnp.int32(~1023), jnp.float32)
     pout_ref[:, :] = best_p
+
+
+def _nn_payload_split_kernel(qsq_ref, q32_ref, r32_ref, rsq_ref, pay3_ref,
+                             dist_ref, pout_ref, *, tn: int, p_dim: int):
+    """bf16-split variant of `_nn_payload_packed_kernel`: the distance
+    matmul contracts the 6-pair split packing (`cross_pack_q`) and the
+    payload selection runs the 3-way-split payload (3P rows) against the
+    EXACT bf16 one-hot — 6x fewer MXU passes at f32-equivalent output
+    accuracy (~1e-3 m^2 absolute distance wobble at 60 m coordinates,
+    below the packed-key quantization already accepted here)."""
+    q32 = q32_ref[:]                    # (32, TM) bf16
+    q2 = qsq_ref[0, :]                  # (TM,) f32
+    tm = q32.shape[1]
+    col = jax.lax.broadcasted_iota(jnp.int32, (tm, tn), 1)
+
+    def step(c, carry):
+        best_k, best_p = carry
+        r32 = r32_ref[:, pl.ds(c * tn, tn)]       # (32, TN) bf16
+        r2 = rsq_ref[0, pl.ds(c * tn, tn)]        # (TN,) f32
+        # DEFAULT precision explicitly: the package-wide f32 matmul default
+        # would ask Mosaic for an fp32 contraction on bf16 operands (fails
+        # to lower); bf16 x bf16 -> f32 is exact per product here
+        cross = jax.lax.dot_general(
+            q32, r32, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.DEFAULT,
+        )
+        d = jnp.maximum(q2[:, None] - 2.0 * cross + r2[None, :], 0.0)
+        key = (jax.lax.bitcast_convert_type(d, jnp.int32)
+               & jnp.int32(~1023)) | col
+        bk = jnp.min(key, axis=1)
+        onehot = (key == bk[:, None]).astype(jnp.bfloat16)  # exact 0/1
+        pay = pay3_ref[:, pl.ds(c * tn, tn)]                # (3P, TN) bf16
+        sel3 = jax.lax.dot_general(
+            pay, onehot, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.DEFAULT,
+        )                                                    # (3P, TM)
+        sel = (sel3[0:p_dim] + sel3[p_dim:2 * p_dim]
+               + sel3[2 * p_dim:3 * p_dim])
+        take = bk < best_k
+        return (
+            jnp.minimum(bk, best_k),
+            jnp.where(take[None, :], sel, best_p),
+        )
+
+    big_key = 2139081118   # int32 bits of 3.4e38
+    init = (jnp.full((tm,), big_key, jnp.int32),
+            jnp.zeros((p_dim, tm), jnp.float32))
+    best_k, best_p = jax.lax.fori_loop(0, r32_ref.shape[1] // tn, step, init)
+    dist_ref[0, :] = jax.lax.bitcast_convert_type(
+        best_k & jnp.int32(~1023), jnp.float32)
+    pout_ref[:, :] = best_p
+
+
+@partial(jax.jit, static_argnames=("tm", "tn", "interpret"))
+def nn_payload_pallas_split(queries, qmask, refs, rmask, payload,
+                            tm: int = 512, tn: int = 1024,
+                            interpret: bool = False):
+    """1-NN with fused payload pickup via the bf16 split-product kernel —
+    same contract as `nn_payload_pallas`, ~2.5x faster on the MXU."""
+    M, N = queries.shape[0], refs.shape[0]
+    P = payload.shape[1]
+    assert M % tm == 0 and N % tn == 0 and P % 8 == 0, (M, N, P, tm, tn)
+
+    qt = queries.T.astype(jnp.float32)          # (3, M)
+    rt = refs.T.astype(jnp.float32)             # (3, N)
+    qsq = jnp.sum(qt * qt, axis=0)[None, :]     # (1, M)
+    rsq = jnp.sum(rt * rt, axis=0)[None, :]     # (1, N)
+    rsq = jnp.where(rmask[None, :], rsq, _BIG)
+    q32 = cross_pack_q(qt)                      # (32, M) bf16
+    r32 = cross_pack_r(rt)                      # (32, N) bf16
+    ph, pm, plo = split3_bf16(payload.T.astype(jnp.float32))
+    pay3 = jnp.concatenate([ph, pm, plo], axis=0)   # (3P, N) bf16
+
+    dist, pout = pl.pallas_call(
+        partial(_nn_payload_split_kernel, tn=tn, p_dim=P),
+        grid=(M // tm,),
+        in_specs=[
+            pl.BlockSpec((1, tm), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((32, tm), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((32, N), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, N), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((3 * P, N), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, tm), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((P, tm), lambda i: (0, i), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((1, M), jnp.float32),
+            jax.ShapeDtypeStruct((P, M), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * M * N * (32 + 3 * P) // 6 + 4 * M * N,
+            bytes_accessed=2 * (32 * (M + N) + 3 * P * N) + 4 * (2 * M + N),
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(qsq, q32, r32, rsq, pay3)
+
+    dist = dist.reshape(M)
+    dist = jnp.where(qmask, dist, _BIG)
+    pout = jnp.where(qmask[None, :], pout, 0.0)
+    return dist, pout.T
 
 
 @partial(jax.jit, static_argnames=("tm", "tn", "packed", "interpret"))

@@ -213,6 +213,108 @@ def _banded_moments_kernel(starts_ref, qt_ref, rt3_ref, rsq3_ref, f3_ref,
         0, band, step, jnp.zeros((16, tm), jnp.float32))
 
 
+from .knn import cross_pack_q as _cross_pack_q
+from .knn import cross_pack_r as _cross_pack_r
+from .knn import split3_bf16 as _split3_bf16
+
+
+def _banded_moments_split_kernel(starts_ref, q32_ref, qsq_ref, r32_ref,
+                                 rsq3_ref, f48_ref, out_ref, *, rad2: float,
+                                 band: int):
+    """bf16-split variant of `_banded_moments_kernel`: the distance matmul
+    contracts the 6-pair split packing (see `_cross_pack_q`) and the moment
+    accumulation runs the 3-way-split F (48 rows) against the EXACT bf16
+    0/1 weight tile — 6x fewer MXU passes than the f32 HIGHEST formulation
+    at equal f32 output accuracy (weights are exactly representable, each
+    split product is exact, accumulation stays f32)."""
+    i = pl.program_id(0)
+    tm = q32_ref.shape[1]
+    q32 = q32_ref[:]
+    q2 = qsq_ref[0, :]
+    s = starts_ref[0, i]
+
+    def step(j, acc):
+        blk = s + j
+        # precision must be DEFAULT explicitly: the package-wide f32 matmul
+        # precision default (aicp_mapping_tpu/__init__.py) asks Mosaic for
+        # an fp32 contraction on bf16 operands, which fails to lower; for
+        # native bf16 x bf16 -> f32 one pass IS exact per product
+        cross = jax.lax.dot_general(
+            q32, r32_ref[blk], (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.DEFAULT,
+        )
+        d = q2[:, None] - 2.0 * cross + rsq3_ref[blk][0, :][None, :]
+        w = (d <= rad2).astype(jnp.bfloat16)
+        m = jax.lax.dot_general(
+            f48_ref[blk], w, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.DEFAULT,
+        )
+        return acc + m
+
+    m48 = jax.lax.fori_loop(0, band, step,
+                            jnp.zeros((48, q32_ref.shape[1]), jnp.float32))
+    out_ref[:, :] = m48[0:16] + m48[16:32] + m48[32:48]
+
+
+@partial(jax.jit, static_argnames=("radius", "band", "tm", "tn",
+                                   "interpret"))
+def sorted_radius_moments_split(ps, ms, codes_s, radius, band: int = 8,
+                                tm: int = 512, tn: int = 1024,
+                                interpret: bool = False):
+    """bf16-split banded moments (see `_banded_moments_split_kernel`):
+    same contract as `sorted_radius_moments`, ~3x faster on the MXU."""
+    from .banded_nn import banded_window_starts
+
+    N = ps.shape[0]
+    big = jnp.float32(3.4e38)
+    m_f = ms.astype(jnp.float32)
+    x, y, z = ps[:, 0], ps[:, 1], ps[:, 2]
+    F = jnp.stack([x, y, z, x * x, y * y, z * z, x * y, x * z, y * z,
+                   jnp.ones_like(x)], axis=0) * m_f[None, :]
+    F = jnp.concatenate([F, jnp.zeros((6, N), jnp.float32)])   # (16, N)
+    fh, fm, fl = _split3_bf16(F)
+    F48 = jnp.concatenate([fh, fm, fl], axis=0)                # (48, N) bf16
+    qt = ps.T.astype(jnp.float32)
+    rsq = jnp.sum(qt * qt, axis=0)[None, :]
+    rsq = jnp.where(ms[None, :], rsq, big)
+    q32 = _cross_pack_q(qt)                                    # (32, N) bf16
+    r32 = _cross_pack_r(qt)                                    # (32, N) bf16
+
+    n_rblocks = N // tn
+    band = min(band, n_rblocks)
+    starts = banded_window_starts(codes_s, codes_s, n_rblocks, band, tm, tn)
+
+    G = N // tm
+    r32b = r32.reshape(32, n_rblocks, tn).transpose(1, 0, 2)
+    rsq3 = rsq.reshape(1, n_rblocks, tn).transpose(1, 0, 2)
+    f48b = F48.reshape(48, n_rblocks, tn).transpose(1, 0, 2)
+    out = pl.pallas_call(
+        partial(_banded_moments_split_kernel,
+                rad2=float(radius) * float(radius), band=band),
+        grid=(G,),
+        in_specs=[
+            pl.BlockSpec((1, G), lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((32, tm), lambda i: (0, i)),
+            pl.BlockSpec((1, tm), lambda i: (0, i)),
+            pl.BlockSpec((n_rblocks, 32, tn), lambda i: (0, 0, 0)),
+            pl.BlockSpec((n_rblocks, 1, tn), lambda i: (0, 0, 0)),
+            pl.BlockSpec((n_rblocks, 48, tn), lambda i: (0, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((16, tm), lambda i: (0, i)),
+        out_shape=jax.ShapeDtypeStruct((16, N), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * N * band * tn * (32 + 48) // 6 + 4 * N * band * tn,
+            bytes_accessed=2 * (32 * N + 48 * N) + 4 * (4 * N + 16 * N),
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(starts.reshape(1, G), q32, rsq, r32b, rsq3, f48b)
+    return out[:10].T                                         # (N, 10)
+
+
 @partial(jax.jit, static_argnames=("radius", "band", "tm", "tn",
                                    "interpret"))
 def sorted_radius_moments(ps, ms, codes_s, radius, band: int = 8,
@@ -286,9 +388,9 @@ def _radius_moments_banded(points, mask, radius, cell_size: float = 2.0,
     origin = jnp.min(jnp.where(mask[:, None], points, big), axis=0)
     codes = morton_codes(points, mask, origin, jnp.float32(cell_size))
     perm = jnp.argsort(codes)
-    out_sorted = sorted_radius_moments(points[perm], mask[perm], codes[perm],
-                                       radius, band=band, tm=tm, tn=tn,
-                                       interpret=interpret)
+    out_sorted = sorted_radius_moments_split(
+        points[perm], mask[perm], codes[perm], radius, band=band, tm=tm,
+        tn=tn, interpret=interpret)
     inv = jnp.argsort(perm)
     return out_sorted[inv]                                    # (N, 10)
 

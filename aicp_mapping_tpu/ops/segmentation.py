@@ -218,7 +218,7 @@ def _hough_prefilter_sorted(
     from .normals import moments_to_normals
     from .knn import _on_tpu
     from .normals import (_radius_moments_pallas, _radius_moments_xla,
-                          sorted_radius_moments)
+                          sorted_radius_moments_split)
 
     n = points.shape[0]
     big_f = jnp.float32(3.4e38)
@@ -235,7 +235,7 @@ def _hough_prefilter_sorted(
 
     # ---- 2. radius moments in sorted space -> normals/curvature ----
     if _on_tpu() and n >= 16384 and n % 1024 == 0 and n % 512 == 0:
-        M = sorted_radius_moments(ps, ms, codes_s, normal_radius)
+        M = sorted_radius_moments_split(ps, ms, codes_s, normal_radius)
     elif _on_tpu() and n % 1024 == 0 and n % 512 == 0:
         M = _radius_moments_pallas(ps, ms, normal_radius)
     else:

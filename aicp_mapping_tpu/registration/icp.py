@@ -28,7 +28,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..geometry import se3
-from ..ops.knn import nn_argmin_pallas, nn_argmin_xla, nn_payload_pallas
+from ..ops.knn import (nn_argmin_pallas, nn_argmin_xla, nn_payload_pallas,
+                       nn_payload_pallas_split)
 from ..ops.quantile import masked_quantile_hist
 
 _BIG = np.float32(3.4e38)
@@ -315,8 +316,11 @@ def point_to_plane_icp(
                 interpret=nn_interpret)
             dist2 = jnp.where(work_mask, dist2, _BIG)
         elif use_payload:
-            dist2, pout = nn_payload_pallas(p, work_mask, reference_points,
-                                            reference_mask, payload)
+            # bf16 split-product kernel (ops.knn): ~2.5x faster than the f32
+            # HIGHEST formulation, ~1e-3 m^2 distance wobble (below the
+            # packed-key quantization already accepted for matching)
+            dist2, pout = nn_payload_pallas_split(
+                p, work_mask, reference_points, reference_mask, payload)
         else:
             dist2, idx = _nn(p, work_mask, reference_points,
                              reference_mask, config.use_pallas)

@@ -216,6 +216,17 @@ def test_nn_payload_matches_argmin():
     same_row = np.all(np.asarray(p_k) == expect, axis=1)
     assert np.mean(same_row) > 0.99, np.mean(same_row)
 
+    # bf16 split-product kernel (the ICP hot-loop default on TPU):
+    # ~1e-3 m^2 absolute distance wobble at these coordinate scales,
+    # payloads exact f32 selections of (almost always) the same winners
+    from aicp_mapping_tpu.ops.knn import nn_payload_pallas_split
+
+    d_s, p_s = nn_payload_pallas_split(q, qm, r, rm, payload, interpret=True)
+    np.testing.assert_allclose(np.asarray(d_s), np.asarray(d_ref),
+                               rtol=3e-4, atol=2e-3)
+    same_row = np.all(np.asarray(p_s) == expect, axis=1)
+    assert np.mean(same_row) > 0.99, np.mean(same_row)
+
 
 def test_radius_moments_pallas_matches_xla():
     from aicp_mapping_tpu.ops.normals import _radius_moments_pallas
@@ -237,7 +248,13 @@ def test_radius_moments_pallas_matches_xla():
 
 
 def test_radius_moments_banded_full_coverage():
-    """Banded moments with full band coverage == exhaustive (interpret)."""
+    """Banded moments with full band coverage vs exhaustive (interpret).
+
+    The banded path runs the bf16-split kernel whose radius test carries
+    ~1e-3 m^2 boundary wobble (an exact kernel for a radius perturbed by
+    ~1 mm), so the contract is neighbor-set agreement up to shell flips:
+    near-identical counts everywhere and exact moments wherever the
+    neighbor set matches."""
     from aicp_mapping_tpu.ops.normals import (_radius_moments_banded,
                                               _radius_moments_pallas)
     rng = np.random.default_rng(7)
@@ -249,7 +266,28 @@ def test_radius_moments_banded_full_coverage():
     band = np.asarray(_radius_moments_banded(pts, mask, 0.5, cell_size=2.0,
                                              band=N // 128, tm=128, tn=128,
                                              interpret=True))
-    np.testing.assert_allclose(band, full, rtol=1e-5, atol=1e-4)
+    cnt_diff = np.abs(band[:, 9] - full[:, 9])
+    assert (cnt_diff <= 2).mean() > 0.99, cnt_diff.max()
+    same = cnt_diff == 0
+    assert same.mean() > 0.9, same.mean()
+    np.testing.assert_allclose(band[same], full[same], rtol=1e-4, atol=1e-3)
+
+
+def test_split3_bf16_exact():
+    """The 3-way bf16 split must reconstruct f32 exactly (bit-masked
+    truncation: 8+8+8 mantissa bits cover f32's 24) — the foundation of the
+    fast banded-moments kernel's accuracy claim."""
+    from aicp_mapping_tpu.ops.normals import _split3_bf16
+
+    rng = np.random.default_rng(3)
+    x = jnp.asarray((rng.uniform(-80, 80, (4096,)) ** 3 / 600
+                     ).astype(np.float32))
+    h, m, l = _split3_bf16(x)
+    back = (h.astype(jnp.float32) + m.astype(jnp.float32)
+            + l.astype(jnp.float32))
+    err = np.abs(np.asarray(back) - np.asarray(x))
+    # hi and mid are exactly representable; lo carries one rounding
+    assert err.max() <= np.abs(np.asarray(x)).max() * 2 ** -22, err.max()
 
 
 def test_radius_moments_banded_partial_band_quality():
