@@ -103,31 +103,34 @@ class SequenceRunner:
         results.extend(self.app.flush())
         return results
 
-    def run_clouds(self, items: Iterable[tuple[int, np.ndarray, np.ndarray]]
+    def run_clouds(self, items: Iterable[tuple[int, np.ndarray, np.ndarray]],
+                   prep_workers: int = 1, prep_window: int = 2
                    ) -> list[FrameResult]:
         """items: (utime, points (N,3), prior_pose (4,4)).
 
-        Uploads run one frame ahead: the next cloud's host->device transfer
-        (the largest per-frame transfer, ~25-35 ms on a tunneled chip) is
-        enqueued asynchronously before the current frame's process_cloud
-        blocks on its result, so transfer overlaps device compute."""
+        Host wire prep (native voxel + quantize + H2D enqueue) runs up to
+        `prep_window` frames ahead on `prep_workers` threads, delivered in
+        order: the native pass and the transfer RPC release the GIL, so
+        prep overlaps device compute. Default 1 worker / lookahead 2: this
+        box has 2 CPU cores, and extra prep workers CONTEND with the
+        dispatch + finalize threads instead of helping (measured: 2 workers
+        dropped the App 100 -> 66 scans/s)."""
         from concurrent.futures import ThreadPoolExecutor
 
         items = list(items)
         results = []
         cfg = self.app.cfg
-        # Wire prep (host voxel + quantize + H2D enqueue) runs one frame
-        # ahead on a worker thread: numpy/native/ctypes and the transfer RPC
-        # all release the GIL, so prep overlaps the device wait inside the
-        # pipeline's batched finalize.
-        with ThreadPoolExecutor(max_workers=1) as ex:
-            fut = (ex.submit(wire_cloud, cfg, items[0][1], self.raw_capacity)
-                   if items else None)
+        with ThreadPoolExecutor(max_workers=prep_workers) as ex:
+            futs = {
+                i: ex.submit(wire_cloud, cfg, items[i][1], self.raw_capacity)
+                for i in range(min(prep_window, len(items)))
+            }
             for i, (utime, pts, pose) in enumerate(items):
-                cloud = fut.result()
-                if i + 1 < len(items):
-                    fut = ex.submit(wire_cloud, cfg, items[i + 1][1],
-                                    self.raw_capacity)
+                cloud = futs.pop(i).result()
+                nxt = i + len(futs) + 1
+                if nxt < len(items):
+                    futs[nxt] = ex.submit(wire_cloud, cfg, items[nxt][1],
+                                          self.raw_capacity)
                 ac = AlignedCloud.create(utime, cloud,
                                          np.asarray(pose, np.float32))
                 results.extend(self._drive(ac))

@@ -227,9 +227,12 @@ def main() -> None:
                         help="capture a jax.profiler trace of the fused "
                              "steady-state loop into LOGDIR")
     parser.add_argument("--frames", type=int, default=28)
-    parser.add_argument("--depth", type=int, default=16,
+    parser.add_argument("--depth", type=int, default=32,
                         help="pipeline depth (frames in flight; each "
-                             "finalize batch = depth/2)")
+                             "finalize batch = depth/2). Each batched "
+                             "finalize is a full queue sync on the "
+                             "tunneled runtime (~RTT/batch per frame), so "
+                             "deeper is faster until staleness matters")
     args = parser.parse_args()
 
     from aicp_mapping_tpu.pipeline.config import PipelineConfig

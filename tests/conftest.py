@@ -25,3 +25,25 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 assert jax.default_backend() == "cpu", jax.default_backend()
 assert jax.device_count() == 8, jax.devices()
+
+
+# ---------------------------------------------------------------------------
+# Test tiers: `pytest -q` runs the quick tier (< ~5 min); the multi-minute
+# accuracy/runner fixtures are marked `slow` and need --runslow (or -m slow).
+# Full-suite runtime with --runslow is ~15 min (documented in CLAUDE.md).
+# ---------------------------------------------------------------------------
+import pytest  # noqa: E402
+
+
+def pytest_addoption(parser):
+    parser.addoption("--runslow", action="store_true", default=False,
+                     help="also run tests marked slow")
+
+
+def pytest_collection_modifyitems(config, items):
+    if config.getoption("--runslow") or config.getoption("-m"):
+        return
+    skip_slow = pytest.mark.skip(reason="slow tier: use --runslow / -m slow")
+    for item in items:
+        if "slow" in item.keywords:
+            item.add_marker(skip_slow)

@@ -33,6 +33,7 @@ def result():
                         drift_per_m=0.025, drift_yaw_deg_per_m=0.2))
 
 
+@pytest.mark.slow
 def test_pipeline_beats_odometry(result):
     pipe = result["pipeline"]
     odo = result["odometry_only"]
@@ -42,6 +43,7 @@ def test_pipeline_beats_odometry(result):
     assert pipe["rpe_rot_rmse_deg"] < 0.75 * odo["rpe_rot_rmse_deg"], result
 
 
+@pytest.mark.slow
 def test_absolute_accuracy_threshold(result):
     # sub-0.5% of the ~19 m track (the reference's KITTI-class regime is
     # sub-percent translation error)

@@ -177,6 +177,7 @@ def test_decision_region_plot(tmp_path):
     assert out.exists() and out.stat().st_size > 1000
 
 
+@pytest.mark.slow
 def test_kitti_runner_urban_vehicle_speed(tmp_path):
     """The runner at real vehicle speed (VERDICT r1 weak #7): 10 m/s down
     an urban street, 64-beam raycast scans, GPS-grade noisy priors — the
