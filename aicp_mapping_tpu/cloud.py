@@ -37,10 +37,18 @@ class Cloud:
 
     points: (N, 3) float32 — padded entries are arbitrary (usually 0)
     mask:   (N,)  bool     — True for valid points
+    pre_voxelized: static metadata — True when the cloud already went
+    through a host voxel grid at least as coarse as the pipeline's device
+    voxel (wire_cloud sets it); the App's voxel-skip fast path REQUIRES it
+    for small clouds rather than inferring from shape (a user-built small
+    cloud would otherwise silently skip the voxel stage and hit the
+    radius-normal prefilter with non-uniform density — r3 advisor finding).
     """
 
     points: jax.Array
     mask: jax.Array
+    pre_voxelized: bool = dataclasses.field(
+        default=False, metadata=dict(static=True))
 
     @property
     def capacity(self) -> int:
@@ -50,7 +58,8 @@ class Cloud:
         return jnp.sum(self.mask.astype(jnp.int32))
 
     def transform(self, T: jax.Array) -> "Cloud":
-        return Cloud(se3.transform_points(T, self.points), self.mask)
+        return Cloud(se3.transform_points(T, self.points), self.mask,
+                     self.pre_voxelized)
 
     @staticmethod
     def from_numpy(arr: np.ndarray, capacity: Optional[int] = None,

@@ -122,6 +122,10 @@ def banded_prepare_payload(refs, rmask, extra, origin, cell_size,
     rsq = jnp.sum(rt * rt, axis=0)[None, :]
     rsq = jnp.where(ms[None, :], rsq, _BIG)
     pay_rows = [out[1], out[2], out[3], *out[5:]]
+    # a wider `extra` than pad_to-3 columns would silently produce more
+    # than pad_to rows and break the (pad_to, N) layout the resident
+    # banded kernel expects — fail loudly at the call site instead
+    assert len(pay_rows) <= pad_to, (len(pay_rows), pad_to)
     pay_rows += [jnp.zeros((n,), jnp.float32)] * (pad_to - len(pay_rows))
     pay_t = jnp.stack(pay_rows, 0)
     return rt, rsq, rcodes_s, pay_t

@@ -113,6 +113,22 @@ def _compact_unique_keys(keys: jax.Array, valid: jax.Array) -> jax.Array:
     return inv
 
 
+def _hough_key(points: jax.Array, normals: jax.Array, normal_bins: int,
+               offset_res: float) -> jax.Array:
+    """Quantized (normal direction, plane offset) hough cell key, packed
+    into int31 — shared by `hough_plane_labels` and the fused sorted-space
+    prefilter so the two paths cannot drift. int32 key packing (x64 is
+    disabled under jit): the normal-cube part needs <= (2*normal_bins+2)^3
+    codes and the offset part 12 bits, so normal_bins <= 12 keeps the key
+    within int31."""
+    q = jnp.round(normals * normal_bins).astype(jnp.int32) + normal_bins
+    B = jnp.int32(2 * normal_bins + 2)
+    d = jnp.sum(normals * points, axis=-1)
+    dq = jnp.clip(jnp.round(d / offset_res).astype(jnp.int32), -2047, 2047)
+    return ((q[:, 0] * B + q[:, 1]) * B + q[:, 2]) * jnp.int32(4096) \
+        + (dq + 2048)
+
+
 @partial(jax.jit, static_argnames=("normal_bins",))
 def hough_plane_labels(points: jax.Array, mask: jax.Array,
                        normals: jax.Array, curvature: jax.Array,
@@ -131,15 +147,7 @@ def hough_plane_labels(points: jax.Array, mask: jax.Array,
 
     Returns dense labels (N,) int32, -1 for invalid/high-curvature points.
     """
-    # int32 key packing (x64 is disabled under jit): the normal-cube part
-    # needs <= (2*normal_bins+2)^3 codes and the offset part 12 bits, so
-    # normal_bins <= 12 keeps the key within int31.
-    q = jnp.round(normals * normal_bins).astype(jnp.int32) + normal_bins
-    B = jnp.int32(2 * normal_bins + 2)
-    d = jnp.sum(normals * points, axis=-1)
-    dq = jnp.clip(jnp.round(d / offset_res).astype(jnp.int32), -2047, 2047)
-    key = ((q[:, 0] * B + q[:, 1]) * B + q[:, 2]) * jnp.int32(4096) \
-        + (dq + 2048)
+    key = _hough_key(points, normals, normal_bins, offset_res)
     valid = mask & (curvature <= curvature_thresh)
     return _compact_unique_keys(key, valid)
 
@@ -242,13 +250,8 @@ def _hough_prefilter_sorted(
         M = _radius_moments_xla(ps, ms, normal_radius)
     normals, curvature, _ = moments_to_normals(M, ps, ms, viewpoint)
 
-    # ---- 3. hough plane key (same packing as hough_plane_labels) ----
-    q = jnp.round(normals * normal_bins).astype(jnp.int32) + normal_bins
-    B = jnp.int32(2 * normal_bins + 2)
-    d = jnp.sum(normals * ps, axis=-1)
-    dq = jnp.clip(jnp.round(d / offset_res).astype(jnp.int32), -2047, 2047)
-    hkey = ((q[:, 0] * B + q[:, 1]) * B + q[:, 2]) * jnp.int32(4096) \
-        + (dq + 2048)
+    # ---- 3. hough plane key (shared packing with hough_plane_labels) ----
+    hkey = _hough_key(ps, normals, normal_bins, offset_res)
     valid = ms & (curvature <= curvature_thresh)
     hkey = jnp.where(valid, hkey, sent)
 

@@ -336,6 +336,21 @@ class App:
         cfg = self.cfg
         t = self.timing
 
+        # The fused step skips device voxelization for clouds at (or under)
+        # downsample capacity when the wire voxel covers it — that fast
+        # path is only correct for clouds that actually WENT through the
+        # host voxel grid (wire_cloud marks them); reject unmarked small
+        # clouds instead of silently feeding non-uniform density into the
+        # radius-normal prefilter (r3 advisor finding).
+        from .fused import _pre_voxelized
+
+        if (_pre_voxelized(cfg, cloud.cloud.capacity)
+                and not cloud.cloud.pre_voxelized):
+            raise ValueError(
+                "cloud at <= downsample_capacity would skip the device "
+                "voxel stage but was not host-voxelized; build it with "
+                "pipeline.sequence.wire_cloud (or submit at raw capacity)")
+
         # ---------------- first cloud bootstrap (app.cpp:286-316) ----------
         if (not cfg.localize_against_prior_map and not cfg.load_map_from_file
                 and self.graph.is_empty() and not self._pending):

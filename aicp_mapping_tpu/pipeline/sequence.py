@@ -30,6 +30,8 @@ def wire_cloud(cfg: PipelineConfig, pts: np.ndarray,
     native voxel pre-downsample, optional int16 fixed-point transfer. On a
     tunneled chip wire bytes serialize with device compute, so this is the
     throughput lever for the streaming drivers."""
+    import dataclasses as _dc
+
     if cfg.wire_voxel > 0.0:
         from .. import native
 
@@ -40,13 +42,16 @@ def wire_cloud(cfg: PipelineConfig, pts: np.ndarray,
             q, scale, center, n = native.voxel_downsample_q16(
                 np.asarray(pts, np.float32), cfg.wire_voxel,
                 cfg.downsample_capacity)
-            return Cloud.from_wire_q16(q, scale, center, n)
+            return _dc.replace(Cloud.from_wire_q16(q, scale, center, n),
+                               pre_voxelized=True)
         pts = native.voxel_downsample(np.asarray(pts, np.float32),
                                       cfg.wire_voxel,
                                       capacity=cfg.downsample_capacity)
-        cap = cfg.downsample_capacity
-    else:
-        cap = capacity if capacity is not None else cfg.raw_capacity
+        return _dc.replace(
+            Cloud.from_numpy(pts, capacity=cfg.downsample_capacity,
+                             quantize=cfg.quantized_upload),
+            pre_voxelized=True)
+    cap = capacity if capacity is not None else cfg.raw_capacity
     return Cloud.from_numpy(pts, capacity=cap,
                             quantize=cfg.quantized_upload)
 

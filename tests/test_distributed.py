@@ -101,7 +101,8 @@ def replicated(full_np):
 report = {}
 
 # ---- real solver 1: sharded trimmed point-to-plane ICP across 2 procs ----
-pts = room_cloud(n=2048, seed=5, noise=0.005).astype(np.float32)[:2048]
+pts = room_cloud(n=2300, seed=5, noise=0.005).astype(np.float32)[:2048]
+assert pts.shape[0] == 2048, pts.shape
 mask = np.ones((2048,), bool)
 normals, _, _ = estimate_normals(jnp.asarray(pts), jnp.asarray(mask), k=12)
 normals = np.asarray(normals)
@@ -113,7 +114,7 @@ reading = (pts @ T_pert[:3, :3].T + T_pert[:3, 3]).astype(np.float32)
 res_sh = sharded_point_to_plane_icp(
     mesh, shard_rows(reading), shard_rows(mask),
     replicated(pts), replicated(normals), replicated(mask),
-    np.eye(4, np.float32), 0.7)
+    np.eye(4, dtype=np.float32), 0.7)
 T_sh = np.asarray(jax.device_get(res_sh.T))
 
 # single-process reference on the local device only
@@ -143,7 +144,7 @@ report["icp_collectives"] = collective_stats(txt)
 # ---- real solver 2: edge-sharded pose-graph optimization --------------
 rngp = np.random.default_rng(11)
 K = 8
-gt = [np.eye(4, np.float32)]
+gt = [np.eye(4, dtype=np.float32)]
 for i in range(K - 1):
     d = np.asarray(se3.make_transform(
         se3.so3_exp(jnp.array([0.0, 0.0, 2 * np.pi / K])),

