@@ -86,7 +86,7 @@ class ShardedMapLocalizer:
                  block_cell: float = 1.0,
                  pipeline_config=None,
                  classifier=None,
-                 crop_radius: float = 8.0,
+                 crop_radius: float = 16.0,
                  out_capacity: int = 8192):
         self.mesh = mesh
         self.axis = axis
