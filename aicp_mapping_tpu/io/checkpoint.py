@@ -156,3 +156,61 @@ def load_checkpoint(path: str, visualizer=None, classifier=None):
         d["corrected_pose"] = np.asarray(d["corrected_pose"], np.float32)
         app.frames.append(FrameResult(**d))
     return app
+
+
+# ---------------------------------------------------------------------------
+# SLAM back-end (PoseGraphMapper) checkpointing — SURVEY §5.4 extended to
+# the mapping session: keyframes live in the App graph (saved above with
+# their is_reference flags), so the back-end state to persist is the
+# verified loop-closure set + the mapper's gating parameters.
+# ---------------------------------------------------------------------------
+
+def save_mapper_checkpoint(mapper, path: str) -> None:
+    """Serialize a PoseGraphMapper (App + back-end state) so a mapping
+    session with loop closures can resume: `<path>.{npz,json}` for the App
+    plus `<path>.mapper.json` for closures/params."""
+    save_checkpoint(mapper.app, path)
+    doc = {
+        "version": CHECKPOINT_VERSION,
+        "params": {
+            "min_loop_overlap": mapper.min_loop_overlap,
+            "min_keyframe_gap": mapper.min_keyframe_gap,
+            "max_loop_distance": mapper.max_loop_distance,
+            "odom_weight_t": mapper.odom_weight_t,
+            "odom_weight_r": mapper.odom_weight_r,
+        },
+        "loop_closures": [
+            {"i": lc.i, "j": lc.j,
+             "measurement": np.asarray(lc.measurement).tolist(),
+             "overlap": float(lc.overlap),
+             "inlier_rms": float(lc.inlier_rms)}
+            for lc in mapper.loop_closures
+        ],
+    }
+    tmp = path + ".mapper.json.tmp"
+    with open(tmp, "w") as f:
+        json.dump(doc, f)
+    os.replace(tmp, path + ".mapper.json")
+
+
+def load_mapper_checkpoint(path: str, mesh=None, mesh_axis: str = "graph",
+                           visualizer=None, classifier=None):
+    """Reconstruct a PoseGraphMapper (and its App) from
+    `save_mapper_checkpoint` output. The device mesh is runtime topology,
+    not state — pass it explicitly when resuming on a multi-chip host."""
+    from ..pipeline.mapper import LoopClosure, PoseGraphMapper
+
+    app = load_checkpoint(path, visualizer=visualizer, classifier=classifier)
+    with open(path + ".mapper.json") as f:
+        doc = json.load(f)
+    if doc["version"] != CHECKPOINT_VERSION:
+        raise ValueError(f"unsupported mapper checkpoint {doc['version']}")
+    mapper = PoseGraphMapper(app, mesh=mesh, mesh_axis=mesh_axis,
+                             **doc["params"])
+    mapper.loop_closures = [
+        LoopClosure(i=lc["i"], j=lc["j"],
+                    measurement=np.asarray(lc["measurement"], np.float32),
+                    overlap=lc["overlap"], inlier_rms=lc["inlier_rms"])
+        for lc in doc["loop_closures"]
+    ]
+    return mapper

@@ -202,13 +202,23 @@ class PoseGraphMapper:
         return kfs
 
     def run_plane_ba(self, gn_iters: int = 6, max_planes: int = 12,
-                     min_points: int = 50) -> list[Keyframe]:
+                     min_points: int = 50,
+                     pose_damping: float = 50.0) -> list[Keyframe]:
         """Plane-landmark bundle adjustment refinement (parallel/ba.py).
 
         Extracts plane clusters per keyframe (the alignability front-end's
         surfaces), associates them into world landmarks, and jointly refines
         keyframe poses + landmark planes with the Schur-complement GN —
-        observation-sharded over the mesh when one is configured."""
+        observation-sharded over the mesh when one is configured.
+
+        `pose_damping` is the implicit prior pinning each pose to its
+        current (PGO-refined) estimate. It must be ODOMETRY-SCALE, not
+        epsilon: planes only constrain their normal directions, and a real
+        scene routinely shows a pose nothing but ground + one facade
+        family — with epsilon damping the unconstrained in-plane DOFs run
+        away (measured: keyframe ATE 0.3 -> 387 m on an urban circuit at
+        the old 1e-6 default). At ~50 (vs per-plane information in the
+        hundreds) well-constrained DOFs still move freely."""
         from ..parallel.ba import (build_plane_ba, extract_planes,
                                    optimize_plane_ba,
                                    optimize_plane_ba_sharded,
@@ -238,9 +248,11 @@ class PoseGraphMapper:
             n_dev = self.mesh.shape[self.mesh_axis]
             prob = pad_observations(prob, n_dev)
             opt, _, _ = optimize_plane_ba_sharded(
-                prob, self.mesh, axis=self.mesh_axis, gn_iters=gn_iters)
+                prob, self.mesh, axis=self.mesh_axis, gn_iters=gn_iters,
+                pose_damping=pose_damping)
         else:
-            opt, _, _ = optimize_plane_ba(prob, gn_iters=gn_iters)
+            opt, _, _ = optimize_plane_ba(prob, gn_iters=gn_iters,
+                                          pose_damping=pose_damping)
         return self._apply_poses(kfs, np.asarray(opt))
 
     def run_backend(self) -> dict:

@@ -85,3 +85,51 @@ def test_checkpoint_flushes_inflight_frames(tmp_path):
     assert app2.graph.n_clouds == app.graph.n_clouds
     assert app2._since_ref_disp == app._since_ref_disp
     assert app2._registered_any == app._registered_any
+
+
+def test_mapper_checkpoint_roundtrip(tmp_path):
+    """A mapping session WITH a back-end (keyframes + verified loop
+    closures) resumes: the restored mapper holds identical keyframe poses
+    and closures, and optimizing the RESUMED graph matches optimizing the
+    original (r3 verdict next-round #10)."""
+    import numpy as np
+
+    from aicp_mapping_tpu.io.checkpoint import (load_mapper_checkpoint,
+                                                save_mapper_checkpoint)
+    from aicp_mapping_tpu.pipeline.app import App
+    from aicp_mapping_tpu.pipeline.mapper import PoseGraphMapper
+    from aicp_mapping_tpu.pipeline.sequence import (SequenceRunner,
+                                                    synthetic_sequence)
+
+    items, gt = synthetic_sequence(n_frames=8, n_points=6000, seed=2,
+                                   yaw_rate_deg=45.0, step=1.2)
+    cfg = _cfg()
+    cfg.working_mode = "debug"
+    cfg.reference_update_frequency = 2
+    cfg.min_cluster_size = 30
+    app = App(cfg)
+    SequenceRunner(app).run_clouds(items)
+    mapper = PoseGraphMapper(app, min_keyframe_gap=1, min_loop_overlap=10.0,
+                             max_loop_distance=30.0)
+    lcs = mapper.propose_loop_closures()
+    assert len(lcs) >= 1
+
+    path = str(tmp_path / "slam_ckpt")
+    save_mapper_checkpoint(mapper, path)
+    restored = load_mapper_checkpoint(path)
+
+    kfs_a = mapper.keyframes()
+    kfs_b = restored.keyframes()
+    assert [k.index for k in kfs_a] == [k.index for k in kfs_b]
+    for a, b in zip(kfs_a, kfs_b):
+        np.testing.assert_allclose(np.asarray(a.pose), np.asarray(b.pose),
+                                   atol=1e-6)
+    assert len(restored.loop_closures) == len(mapper.loop_closures)
+    for a, b in zip(mapper.loop_closures, restored.loop_closures):
+        assert (a.i, a.j) == (b.i, b.j)
+        np.testing.assert_allclose(a.measurement, b.measurement, atol=1e-6)
+
+    # the resumed back-end optimizes to the same solution
+    opt_a = np.stack([k.pose for k in mapper.optimize()])
+    opt_b = np.stack([k.pose for k in restored.optimize()])
+    np.testing.assert_allclose(opt_a, opt_b, atol=1e-4)
