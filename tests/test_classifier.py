@@ -101,3 +101,41 @@ def test_label_file_parsing(tmp_path):
     # (classification/main.cpp:124)
     np.testing.assert_allclose(X[0], [76.67, 12.4], rtol=1e-5)
     np.testing.assert_array_equal(y, [0, 0, 1])
+
+
+def test_pretrained_model_set_loads_and_performs():
+    """The shipped per-operating-point pretrained classifiers (the analog
+    of the reference's multiple svm_*training_thresh*.xml assets,
+    aicp_core/data/classification/) all load and clear an AUC floor on the
+    real held-out test set."""
+    import json
+    import os
+
+    import numpy as np
+
+    from aicp_mapping_tpu.classification.classifier import (RiskClassifier,
+                                                            load_label_file)
+
+    root = os.path.join(os.path.dirname(__file__), "..")
+    with open(os.path.join(root, "data", "classification",
+                           "pretrained_models.json")) as f:
+        manifest = json.load(f)
+    assert len(manifest) >= 3
+    feats, labels = load_label_file(
+        os.path.join(root, "data", "labels", "testing_labelled_27Aug.txt"))
+    thresholds = set()
+    for name, meta in manifest.items():
+        clf = RiskClassifier()
+        clf.load(os.path.join(root, "data", "classification", name + ".npz"))
+        thresholds.add(clf.threshold)
+        probs, stats = clf.test(feats, labels)
+        p = np.asarray(probs)
+        lab = np.asarray(labels) > 0.5
+        ths = np.linspace(0, 1, 101)
+        tpr = [(p[lab] >= t).mean() for t in ths]
+        fpr = [(p[~lab] >= t).mean() for t in ths]
+        auc = float(np.trapezoid(tpr[::-1], fpr[::-1]))
+        assert auc > 0.95, (name, auc)
+        assert stats["accuracy"] > 0.85, (name, stats)
+    # genuinely distinct operating points, not copies
+    assert len(thresholds) >= 3
