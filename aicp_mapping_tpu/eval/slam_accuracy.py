@@ -65,7 +65,7 @@ def run_slam_accuracy(n_frames: int = 44, n_points: int = 14000,
                       seed: int = 0, drift_per_m: float = 0.012,
                       drift_yaw_deg_per_m: float = 0.10,
                       step: float = 3.0,
-                      dropout_at: int = 14, dropout_len: int = 4,
+                      dropout_at: int = 14, dropout_len: int = 10,
                       fault_t: float = 0.35, fault_yaw_deg: float = 2.0,
                       use_plane_ba: bool = True) -> dict:
     """Drifted multi-loop URBAN drive with a mid-drive failure stretch,
@@ -98,14 +98,7 @@ def run_slam_accuracy(n_frames: int = 44, n_points: int = 14000,
     items = []
     T_odom = gt[0].copy()
     for i in range(n_frames):
-        scan = velodyne_scan(world, gt[i], n_beams=48, n_azimuth=384,
-                             max_range=45.0, noise=0.02, seed=seed + 10 + i)
-        if len(scan) > n_points:
-            sel = rng.choice(len(scan), n_points, replace=False)
-            scan = scan[sel]
-        in_dropout = dropout_at <= i < dropout_at + dropout_len
-        if in_dropout:
-            scan = scan[:: max(len(scan) // 60, 1)][:60]   # sensor dropout
+        in_outage = dropout_at <= i < dropout_at + dropout_len
         if i > 0:
             delta = np.linalg.inv(gt[i - 1]) @ gt[i]
             dist = float(np.linalg.norm(delta[:3, 3]))
@@ -122,24 +115,46 @@ def run_slam_accuracy(n_frames: int = 44, n_points: int = 14000,
             drift[:3, :3] = np.array([[c, -s, 0], [s, c, 0], [0, 0, 1]])
             drift[:3, 3] = dt
             T_odom = T_odom @ delta @ drift
+        if in_outage:
+            continue                                   # no sensor data
+        scan = velodyne_scan(world, gt[i], n_beams=48, n_azimuth=384,
+                             max_range=25.0, noise=0.02, seed=seed + 10 + i)
+        if len(scan) > n_points:
+            sel = rng.choice(len(scan), n_points, replace=False)
+            scan = scan[sel]
         in_odom = scan @ T_odom[:3, :3].T + T_odom[:3, 3]
         items.append((i * 100_000, in_odom.astype(np.float32),
                       T_odom.astype(np.float32).copy()))
 
+    # The overlap gate is ESSENTIAL here, exactly as the reference's risk
+    # gate is in its deployments: the outage (dropout_len frames, longer
+    # than the sensor range) means the first post-gap frame shares nothing
+    # with the pre-gap reference — ungated, its garbage registration either
+    # deadlocks the chain or teleports the map. Gated (overlap < 20%), the
+    # frame skips registration, trusts the (faulted) odometry, and is
+    # force-adopted as the new reference (app.cpp:401-411) — which is also
+    # what makes the odometry fault PERSIST in the front-end: the post-gap
+    # segment re-anchors on a faulted pose, and only the back-end's loop
+    # closures can see the seam. (The shipped classifier would gate the
+    # same frames, but its training distribution is the reference
+    # platform's; the direct overlap gate needs no domain transfer.)
     cfg = PipelineConfig(
         working_mode="debug", segmentation_method="region_growing",
         raw_capacity=16384, downsample_capacity=8192,
         filtered_capacity=4096, map_capacity=65536, min_cluster_size=30,
-        reference_update_frequency=2, max_correction_magnitude=1.5)
+        reference_update_frequency=2, max_correction_magnitude=1.5,
+        failure_prediction_mode=False, min_overlap_percent=20.0)
     import dataclasses as _dc
 
     cfg.icp = _dc.replace(cfg.icp, trim_normal_space=True)
     app = App(cfg)
     SequenceRunner(app).run_clouds(items)
 
-    # odometry-only ATE (what the drift alone would do)
-    odo_errs = [np.linalg.norm(np.asarray(it[2])[:3, 3] - g[:3, 3])
-                for it, g in zip(items, gt)]
+    # odometry-only ATE (what the drift alone would do); items skip the
+    # outage frames, so align to ground truth by utime
+    odo_errs = [np.linalg.norm(np.asarray(it[2])[:3, 3]
+                               - gt[it[0] // 100_000][:3, 3])
+                for it in items]
     ate_odom = float(np.sqrt(np.mean(np.square(odo_errs))))
 
     mapper = PoseGraphMapper(app, min_keyframe_gap=2,
@@ -147,6 +162,11 @@ def run_slam_accuracy(n_frames: int = 44, n_points: int = 14000,
     kfs_pre = mapper.keyframes()
     ate_pre = _keyframe_ate(kfs_pre, gt)
 
+    # two backend rounds: after the first PGO the poses are closer, so a
+    # second closure proposal finds pairs the seam previously pushed past
+    # the distance/overlap gates (standard iterated-closure practice)
+    lcs = mapper.propose_loop_closures()
+    mapper.optimize()
     lcs = mapper.propose_loop_closures()
     mapper.optimize()
     ate_pgo = _keyframe_ate(mapper.keyframes(), gt)
@@ -163,7 +183,13 @@ def run_slam_accuracy(n_frames: int = 44, n_points: int = 14000,
         "closure_spans": [(lc.i, lc.j) for lc in lcs],
     }
     if use_plane_ba:
-        mapper.run_plane_ba(gn_iters=4, min_points=30)
+        # strong pose anchor: with a residual ~0.4 m seam still in the
+        # trajectory, plane association across the seam is partly wrong,
+        # and a loosely anchored BA REDUCES ITS OWN COST while bending the
+        # trajectory away from ground truth (measured 0.45 -> 0.85 m at
+        # damping 50). Anchored at ~300 the refinement is bounded to the
+        # well-associated constraints.
+        mapper.run_plane_ba(gn_iters=4, min_points=30, pose_damping=300.0)
         out["ate_post_ba_m"] = round(_keyframe_ate(mapper.keyframes(), gt), 4)
     return out
 

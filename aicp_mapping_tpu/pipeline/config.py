@@ -46,6 +46,15 @@ class PipelineConfig:
     # --- ClassificationParams (aicp_classification/common.hpp:38-50) ---
     risk_threshold: float = 0.50           # aicp_config.yaml:28
     classifier_path: str = ""              # saved RiskClassifier .npz
+    # Direct occupancy-overlap gate (0 = off): a frame whose octree overlap
+    # falls below this percentage takes the SAME skip-registration +
+    # forced-reference-update path as a high classifier risk
+    # (app.cpp:243-245, 401-411). The classifier's two features are
+    # (overlap, alignability) trained on the reference platform's
+    # distribution; this gate gives deployments on other sensor/scene
+    # distributions the first feature's protection without retraining —
+    # e.g. re-anchoring after a sensor outage longer than the sensor range.
+    min_overlap_percent: float = 0.0
 
     # --- pre-filter (filteringUtils.cpp:5-45) ---
     voxel_size: float = 0.08

@@ -242,6 +242,12 @@ def make_app_frame_step(cfg: PipelineConfig, with_risk: bool,
         # means WRONG ALIGNMENT -> frame dropped (app.cpp:366-373).
         risk_ok = (jnp.bool_(True) if not with_risk
                    else risk <= jnp.float32(risk_threshold))
+        if cfg.min_overlap_percent > 0.0:
+            # direct overlap gate (PipelineConfig.min_overlap_percent):
+            # same skip + forced-reference semantics as high risk
+            risk_ok = jnp.logical_and(
+                risk_ok,
+                overlap >= jnp.float32(cfg.min_overlap_percent))
         corr_g = jnp.where(risk_ok, res.T, eye4)
         accepted = jnp.logical_or(
             jnp.asarray(allow_large, jnp.bool_),
