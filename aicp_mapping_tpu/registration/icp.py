@@ -278,9 +278,11 @@ def point_to_plane_icp(
     use_payload = plan["nn"] == "payload_split"
 
     if use_banded:
-        from ..ops.banded_nn import (banded_blocks, banded_prepare_payload,
+        from ..ops.banded_nn import (banded_blocks, banded_blocks_split,
+                                     banded_prepare_payload,
                                      banded_window_starts, morton_codes,
-                                     nn_payload_banded_resident)
+                                     nn_payload_banded_resident,
+                                     nn_payload_banded_resident_split)
 
         nn_band = config.nn_band
         if nn_band <= 0:
@@ -304,7 +306,14 @@ def point_to_plane_icp(
                  if config.error_metric == "point_to_plane" else None)
         rt, rsq, rcodes_s, pay_t = banded_prepare_payload(
             reference_points, reference_mask, extra, origin, cell)
-        rt3, rsq3, pay3 = banded_blocks(rt, rsq, pay_t)
+        # bf16 split kernel: 6x fewer MXU passes; its split-packed blocks
+        # cost (32 + 3P) * N * 2 B of VMEM, so gate on reference size and
+        # fall back to the f32 kernel for very large maps
+        use_split_banded = (N // 1024) <= 64
+        if use_split_banded:
+            rt3, rsq3, pay3 = banded_blocks_split(rt, rsq, pay_t)
+        else:
+            rt3, rsq3, pay3 = banded_blocks(rt, rsq, pay_t)
         # Sort the reading ONCE by its initial-transform Morton codes and
         # run the whole ICP in sorted order: every loop reduction (trim
         # histogram, 6x6 normal equations) is order-free, windows are
@@ -336,9 +345,14 @@ def point_to_plane_icp(
             codes = morton_codes(p, work_mask, origin, cell)
             starts = banded_window_starts(codes, rcodes_s, N // 1024,
                                           nn_band, 512, 1024)
-            dist2, pout = nn_payload_banded_resident(
-                p, rt3, rsq3, pay3, starts, band=nn_band,
-                interpret=nn_interpret)
+            if use_split_banded:
+                dist2, pout = nn_payload_banded_resident_split(
+                    p, rt3, rsq3, pay3, starts, band=nn_band,
+                    interpret=nn_interpret)
+            else:
+                dist2, pout = nn_payload_banded_resident(
+                    p, rt3, rsq3, pay3, starts, band=nn_band,
+                    interpret=nn_interpret)
             dist2 = jnp.where(work_mask, dist2, _BIG)
         elif use_payload:
             # bf16 split-product kernel (ops.knn): ~2.5x faster than the f32
