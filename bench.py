@@ -274,6 +274,22 @@ def main() -> None:
     except OSError:
         load1 = 0.0
 
+    # Tunnel-health sentinel: the remote-chip link goes through degraded
+    # phases where every stage measures ~3x slow (observed back-to-back:
+    # segmentation 1.9 then 5.3 ms on identical code). Measure the blocking
+    # round-trip floor so such runs are flagged, not misread as regressions.
+    import jax
+    import jax.numpy as jnp
+
+    x = jnp.float32(1.0) + 1.0
+    jax.block_until_ready(x)
+    rtts = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        jax.device_get(jnp.float32(1.0) + 1.0)
+        rtts.append(time.perf_counter() - t0)
+    rtt_ms = float(np.median(rtts) * 1e3)
+
     if args.trace:
         from aicp_mapping_tpu.utils.timing import profiler_trace
 
@@ -295,9 +311,21 @@ def main() -> None:
         "app_frame_latency_ms": round(app_latency_ms, 3),
         "app_spread": round(app_spread, 3),
         "staged_spread": round(staged_spread, 3),
+        "tunnel_rtt_ms": round(rtt_ms, 1),
     }
     if load1 > 1.5:
         record["load_warning"] = round(load1, 2)
+    if rtt_ms > 45.0:
+        record["tunnel_degraded_warning"] = True
+    # Compute-phase sentinel: the tunneled chip has degraded phases where
+    # identical device work runs ~1.5-3x slow (measured fused 262 vs 184
+    # scans/s back-to-back, RTT unchanged — so the RTT probe alone cannot
+    # catch it). The fused-step rate is a pure device benchmark of fixed
+    # work; below 200 scans/s on THIS code it indicates a degraded phase,
+    # and every number in the run (not just fused) is depressed. Treat
+    # flagged runs as environment artifacts, not regressions.
+    if fused_rate < 200.0:
+        record["device_phase_warning"] = round(fused_rate, 1)
     if args.breakdown:
         record["stage_ms"] = {k: round(v["mean_ms"], 3)
                               for k, v in stages.items()}
