@@ -246,14 +246,20 @@ def se3_log(T: jax.Array) -> jax.Array:
     theta2 = jnp.sum(w * w, axis=-1)[..., None, None]
     theta = jnp.sqrt(jnp.maximum(theta2, _EPS * _EPS))
     K = skew(w)
-    small = theta2 < 1e-8
+    # Small-angle cutoff sized for f32: 1 - cos(theta) underflows to 0 for
+    # theta^2 below ~1.2e-7 (making B = 0 and the closed form inf/NaN on a
+    # near-identity pose with a tiny real rotation), so switch to the
+    # Taylor branch well above that; at theta = 1e-3 the Taylor error is
+    # O(theta^4) ~ 1e-12.
+    small = theta2 < 1e-6
     # V^{-1} = I - K/2 + (1/theta^2)(1 - A/(2B)) K^2
     A = jnp.where(small, 1.0 - theta2 / 6.0, jnp.sin(theta) / theta)
     B = jnp.where(small, 0.5 - theta2 / 24.0, (1.0 - jnp.cos(theta)) / theta2)
     coef = jnp.where(
         small,
         1.0 / 12.0 + theta2 / 720.0,
-        (1.0 - A / (2.0 * B)) / jnp.maximum(theta2, _EPS),
+        (1.0 - A / (2.0 * jnp.maximum(B, _EPS)))
+        / jnp.maximum(theta2, _EPS),
     )
     eye = jnp.broadcast_to(jnp.eye(3, dtype=T.dtype), K.shape)
     Vinv = eye - 0.5 * K + coef * (K @ K)

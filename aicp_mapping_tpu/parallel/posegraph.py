@@ -75,8 +75,18 @@ def make_odometry_edges(poses: jax.Array, weight_t: float = 100.0,
     return jnp.stack([i, j], axis=1), Z, w
 
 
-def _edge_terms(poses, edges, measurements, weights, edge_mask):
-    """Per-edge residual, Jacobians, weighted blocks."""
+def _edge_terms(poses, edges, measurements, weights, edge_mask,
+                robust_delta: float = 0.0):
+    """Per-edge residual, Jacobians, weighted blocks.
+
+    `robust_delta` > 0 enables a Huber kernel (IRLS, re-evaluated every GN
+    iteration): an edge whose WEIGHTED residual norm exceeds delta is
+    scaled by delta/|r|_w. The back-end's loop closures are verified but
+    not infallible (a street-canyon pair can still lock onto a shifted
+    facade configuration); one inconsistent closure under plain GN drags
+    every pose, under Huber it is gracefully discounted by its own
+    disagreement with the rest of the graph. The same kernel also
+    discounts the faulted odometry edge across a sensor-outage seam."""
     Ti = poses[edges[:, 0]]
     Tj = poses[edges[:, 1]]
     A = jax.vmap(lambda z, a, b: se3.inverse(z) @ se3.inverse(a) @ b)(
@@ -87,12 +97,18 @@ def _edge_terms(poses, edges, measurements, weights, edge_mask):
     Jj = Jri
     Ji = -Jri @ Adji
     w = jnp.where(edge_mask[:, None], weights, 0.0)      # (E, 6)
+    if robust_delta > 0.0:
+        chi = jnp.sqrt(jnp.maximum(jnp.sum(w * r * r, axis=1), 1e-12))
+        scale = jnp.minimum(1.0, robust_delta / chi)
+        w = w * scale[:, None]
     return r, Ji, Jj, w
 
 
-def _edge_reduce(poses, edges, measurements, weights, edge_mask, n_poses):
+def _edge_reduce(poses, edges, measurements, weights, edge_mask, n_poses,
+                 robust_delta: float = 0.0):
     """Gradient b, block-diagonal of H, and edge terms for CG matvecs."""
-    r, Ji, Jj, w = _edge_terms(poses, edges, measurements, weights, edge_mask)
+    r, Ji, Jj, w = _edge_terms(poses, edges, measurements, weights,
+                               edge_mask, robust_delta)
     wr = w * r
     bi = jnp.einsum("eab,ea->eb", Ji, wr)                # Ji^T W r
     bj = jnp.einsum("eab,ea->eb", Jj, wr)
@@ -127,9 +143,10 @@ def _gauge_fix(x):
     return x.at[0].set(0.0)
 
 
-@partial(jax.jit, static_argnames=("gn_iters", "cg_iters"))
+@partial(jax.jit, static_argnames=("gn_iters", "cg_iters", "robust_delta"))
 def optimize_pose_graph(graph: PoseGraph, gn_iters: int = 8,
-                        cg_iters: int = 48, damping: float = 1e-6):
+                        cg_iters: int = 48, damping: float = 1e-6,
+                        robust_delta: float = 0.0):
     """Single-device Gauss-Newton + block-Jacobi PCG. Returns
     (optimized poses (K,4,4), chi2 history (gn_iters+1,))."""
     K = graph.n_poses
@@ -137,7 +154,7 @@ def optimize_pose_graph(graph: PoseGraph, gn_iters: int = 8,
     def gn_step(poses, _):
         b, Hdiag, (r, Ji, Jj, w), chi2 = _edge_reduce(
             poses, graph.edges, graph.measurements, graph.weights,
-            graph.edge_mask, K)
+            graph.edge_mask, K, robust_delta)
         lam = damping * (1.0 + jnp.mean(jnp.trace(Hdiag, axis1=-2, axis2=-1)))
         Hdiag_reg = Hdiag + lam * jnp.eye(6, dtype=poses.dtype)
         Minv = jnp.linalg.inv(Hdiag_reg)                 # block-Jacobi
@@ -179,7 +196,7 @@ def optimize_pose_graph(graph: PoseGraph, gn_iters: int = 8,
     # final chi2
     _, _, _, chi2_final = _edge_reduce(
         poses, graph.edges, graph.measurements, graph.weights,
-        graph.edge_mask, K)
+        graph.edge_mask, K, robust_delta)
     return poses, jnp.concatenate([chi2s, chi2_final[None]])
 
 
@@ -189,7 +206,8 @@ def optimize_pose_graph(graph: PoseGraph, gn_iters: int = 8,
 
 def optimize_pose_graph_sharded(graph: PoseGraph, mesh: Mesh,
                                 axis: str = "edges", gn_iters: int = 8,
-                                cg_iters: int = 48, damping: float = 1e-6):
+                                cg_iters: int = 48, damping: float = 1e-6,
+                                robust_delta: float = 0.0):
     """Distributed GN: edges sharded along `axis`, poses replicated; all
     node-indexed reductions are local scatter-adds followed by `psum` over
     ICI. Requires n_edges % mesh.shape[axis] == 0 (pad with edge_mask)."""
@@ -218,7 +236,8 @@ def optimize_pose_graph_sharded(graph: PoseGraph, mesh: Mesh,
 
         def gn_step(poses, _):
             b_loc, Hd_loc, (r, Ji, Jj, w), chi2_loc = _edge_reduce(
-                poses, g.edges, g.measurements, g.weights, g.edge_mask, K)
+                poses, g.edges, g.measurements, g.weights, g.edge_mask, K,
+                robust_delta)
             b = psum(b_loc)
             Hdiag = psum(Hd_loc)
             chi2 = psum(chi2_loc)
@@ -261,7 +280,8 @@ def optimize_pose_graph_sharded(graph: PoseGraph, mesh: Mesh,
 
         poses, chi2s = jax.lax.scan(gn_step, g.poses, None, length=gn_iters)
         _, _, _, chi2_f = _edge_reduce(
-            poses, g.edges, g.measurements, g.weights, g.edge_mask, K)
+            poses, g.edges, g.measurements, g.weights, g.edge_mask, K,
+            robust_delta)
         return poses, jnp.concatenate([chi2s, psum(chi2_f)[None]])
 
     return run(graph)

@@ -143,6 +143,85 @@ def test_extract_planes_room():
         assert abs(planes[j, 3]) < 20.0
 
 
+def test_plane_ba_improves_room_drift():
+    """Joint plane BA must STRICTLY improve a trajectory whose error lies
+    in the plane-observable subspace. A room world (floor + ceiling +
+    walls: full orientation diversity) is traversed by keyframes whose
+    poses carry accumulated z/pitch drift — exactly what cross-keyframe
+    plane landmarks observe and odometry cannot. BA runs the full shipped
+    path (extraction -> association -> chi^2 consensus gate -> Huber ->
+    joint solve with the odometry edges, which encode the DRIFTED chain
+    and must be overpowered by the planes)."""
+    from aicp_mapping_tpu.ops.normals import radius_normals
+    from aicp_mapping_tpu.parallel.posegraph import make_odometry_edges
+    from aicp_mapping_tpu.tools.synthetic import room_cloud
+
+    world = room_cloud(n=6000, size=10.0, seed=4, noise=0.004)
+    K = 6
+    rng = np.random.default_rng(11)
+    gt = []
+    T = np.eye(4, dtype=np.float64)
+    for k in range(K):
+        gt.append(T.copy())
+        T[0, 3] += 1.0
+    gt = np.stack(gt)
+    # accumulated z + pitch drift (plane-observable directions)
+    pert = []
+    z_err, pitch_err = 0.0, 0.0
+    for k in range(K):
+        z_err += rng.normal(0.0, 0.08)
+        pitch_err += np.deg2rad(rng.normal(0.0, 1.5))
+        c, s = np.cos(pitch_err), np.sin(pitch_err)
+        D = np.eye(4)
+        D[0, 0] = c
+        D[0, 2] = s
+        D[2, 0] = -s
+        D[2, 2] = c
+        D[2, 3] = z_err
+        pert.append(gt[k] @ D)
+    pert = np.stack(pert).astype(np.float32)
+
+    planes_list, w_list, v_list = [], [], []
+    for k in range(K):
+        Tb = jnp.asarray(np.linalg.inv(gt[k]).astype(np.float32))
+        body = se3.transform_points(Tb, jnp.asarray(world))
+        m = jnp.ones((body.shape[0],), bool)
+        normals, curv, _ = radius_normals(body, m, 0.5)
+        pl, w, v = extract_planes(body, m, normals, curv, max_planes=12,
+                                  min_points=80)
+        planes_list.append(np.asarray(pl))
+        w_list.append(np.asarray(w))
+        v_list.append(np.asarray(v))
+
+    prob = build_plane_ba(pert, np.stack(planes_list), np.stack(w_list),
+                          np.stack(v_list), reject_normal_deg=8.0,
+                          reject_offset_m=0.3, min_obs_per_landmark=2)
+    edges, Z, ew = make_odometry_edges(jnp.asarray(pert))
+
+    def aligned_ate(est):
+        a = np.asarray(est)[:, :3, 3]
+        b = gt[:, :3, 3]
+        ca, cb = a.mean(0), b.mean(0)
+        H = (a - ca).T @ (b - cb)
+        U, S, Vt = np.linalg.svd(H)
+        d = np.sign(np.linalg.det(Vt.T @ U.T))
+        R = Vt.T @ np.diag([1, 1, d]) @ U.T
+        t = cb - R @ ca
+        return float(np.sqrt(np.mean(np.sum(
+            ((a @ R.T + t) - b) ** 2, axis=1))))
+
+    ate_before = aligned_ate(pert)
+    poses, lms, chi2 = optimize_plane_ba(
+        prob, gn_iters=6, pose_damping=1.0,
+        robust_sigma_n=0.09, robust_sigma_e=0.10,
+        graph_edges=edges, graph_Z=Z, graph_w=ew,
+        graph_mask=jnp.ones((edges.shape[0],), bool),
+        edge_robust_delta=10.0)
+    ate_after = aligned_ate(poses)
+    assert ate_before > 0.03, ate_before   # drift is real
+    assert ate_after < 0.5 * ate_before, (ate_before, ate_after)
+
+
 def test_build_plane_ba_associates_across_keyframes():
     from aicp_mapping_tpu.ops.normals import radius_normals
     from aicp_mapping_tpu.tools.synthetic import room_cloud
