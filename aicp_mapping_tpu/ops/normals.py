@@ -388,9 +388,18 @@ def _radius_moments_banded(points, mask, radius, cell_size: float = 2.0,
     origin = jnp.min(jnp.where(mask[:, None], points, big), axis=0)
     codes = morton_codes(points, mask, origin, jnp.float32(cell_size))
     perm = jnp.argsort(codes)
-    out_sorted = sorted_radius_moments_split(
-        points[perm], mask[perm], codes[perm], radius, band=band, tm=tm,
-        tn=tn, interpret=interpret)
+    # VMEM gate (r4 advisor): the bf16 split kernel keeps (32 + 48) bf16
+    # rows of reference blocks resident (~160 B/pt) — double the f32
+    # kernel's ~80 B/pt — so past 64 blocks (64k points) fall back to the
+    # f32 formulation, mirroring the ICP banded-NN gate.
+    if (points.shape[0] // tn) <= 64:
+        out_sorted = sorted_radius_moments_split(
+            points[perm], mask[perm], codes[perm], radius, band=band, tm=tm,
+            tn=tn, interpret=interpret)
+    else:
+        out_sorted = sorted_radius_moments(
+            points[perm], mask[perm], codes[perm], radius, band=band, tm=tm,
+            tn=tn, interpret=interpret)
     inv = jnp.argsort(perm)
     return out_sorted[inv]                                    # (N, 10)
 
