@@ -56,6 +56,49 @@ def wire_cloud(cfg: PipelineConfig, pts: np.ndarray,
                             quantize=cfg.quantized_upload)
 
 
+def wire_batch(cfg: PipelineConfig, pts_list: list) -> list[Cloud]:
+    """Batched wire prep: per-frame host native voxel + int16 quantize,
+    then ONE stacked H2D transfer for the whole window. On the tunneled
+    chip every transfer serializes with device compute AND pays a
+    per-transfer setup cost, so shipping a finalize window's frames as a
+    single (B, cap, 3) int16 buffer (16 x ~96 KB -> one ~1.5 MB transfer)
+    amortizes that overhead to ~nothing per frame (r4 verdict weak #5).
+    Per-frame Clouds are device-side slices of the batch — no extra wire
+    bytes. Requires the quantized wire format (wire_voxel > 0 AND
+    quantized_upload)."""
+    import dataclasses as _dc
+
+    import jax.numpy as jnp
+
+    from .. import native
+    from ..cloud import _dequantize_cloud
+
+    assert cfg.wire_voxel > 0.0 and cfg.quantized_upload, \
+        "wire_batch needs the quantized wire format"
+    B = len(pts_list)
+    cap = cfg.downsample_capacity
+    qs = np.zeros((B, cap, 3), np.int16)
+    scales = np.empty((B, 3), np.float32)
+    centers = np.empty((B, 3), np.float32)
+    counts = np.empty((B,), np.int32)
+    for i, pts in enumerate(pts_list):
+        q, scale, center, n = native.voxel_downsample_q16(
+            np.asarray(pts, np.float32), cfg.wire_voxel, cap)
+        qs[i] = q
+        scales[i] = scale
+        centers[i] = center
+        counts[i] = n
+    qb = jnp.asarray(qs)          # ONE stacked transfer
+    sb = jnp.asarray(scales)
+    cb = jnp.asarray(centers)
+    return [
+        _dc.replace(_dequantize_cloud(qb[i], sb[i], cb[i],
+                                      np.int32(counts[i])),
+                    pre_voxelized=True)
+        for i in range(B)
+    ]
+
+
 class SequenceRunner:
     """`pipelined=True` drives App.submit_cloud instead of process_cloud:
     each frame's host sync overlaps the next frame's device compute
@@ -109,8 +152,8 @@ class SequenceRunner:
         return results
 
     def run_clouds(self, items: Iterable[tuple[int, np.ndarray, np.ndarray]],
-                   prep_workers: int = 1, prep_window: int = 2
-                   ) -> list[FrameResult]:
+                   prep_workers: int = 1, prep_window: int = 2,
+                   batch_h2d: int = 0) -> list[FrameResult]:
         """items: (utime, points (N,3), prior_pose (4,4)).
 
         Host wire prep (native voxel + quantize + H2D enqueue) runs up to
@@ -119,12 +162,35 @@ class SequenceRunner:
         prep overlaps device compute. Default 1 worker / lookahead 2: this
         box has 2 CPU cores, and extra prep workers CONTEND with the
         dispatch + finalize threads instead of helping (measured: 2 workers
-        dropped the App 100 -> 66 scans/s)."""
+        dropped the App 100 -> 66 scans/s).
+
+        `batch_h2d` > 1 (quantized wire format only) preps that many
+        frames per worker task and ships them as ONE stacked transfer
+        (`wire_batch`): per-transfer overhead on a tunneled chip amortizes
+        across the window."""
         from concurrent.futures import ThreadPoolExecutor
 
         items = list(items)
         results = []
         cfg = self.app.cfg
+        if (batch_h2d > 1 and cfg.wire_voxel > 0.0
+                and cfg.quantized_upload):
+            batches = [items[i:i + batch_h2d]
+                       for i in range(0, len(items), batch_h2d)]
+            with ThreadPoolExecutor(max_workers=1) as ex:
+                fut = ex.submit(wire_batch, cfg,
+                                [it[1] for it in batches[0]])
+                for bi, bitems in enumerate(batches):
+                    clouds = fut.result()
+                    if bi + 1 < len(batches):
+                        fut = ex.submit(wire_batch, cfg,
+                                        [it[1] for it in batches[bi + 1]])
+                    for (utime, _pts, pose), cloud in zip(bitems, clouds):
+                        ac = AlignedCloud.create(
+                            utime, cloud, np.asarray(pose, np.float32))
+                        results.extend(self._drive(ac))
+            results.extend(self.app.flush())
+            return results
         with ThreadPoolExecutor(max_workers=prep_workers) as ex:
             futs = {
                 i: ex.submit(wire_cloud, cfg, items[i][1], self.raw_capacity)

@@ -71,6 +71,111 @@ def generate_labelled_pairs(n_pairs: int = 60, seed: int = 0,
     return np.asarray(feats, np.float32), np.asarray(labels, np.float32)
 
 
+def generate_urban_labelled_pairs(n_pairs: int = 80, seed: int = 0,
+                                  failure_t_err: float = 0.05,
+                                  n_points: int = 14000):
+    """Urban-domain labelled pairs THROUGH the App's own feature path.
+
+    The reference trains one SVM per deployment platform on logs from that
+    platform (svm.cpp:7-44, data/labels/); the r4 rebuild only shipped
+    models from the reference platform's label distribution, so its own
+    outdoor test domain ran with the classifier bypassed (r4 verdict
+    missing #2). This generator reproduces the labelling methodology on
+    the urban raycast world: scan pairs along a street circuit at
+    baselines spanning the overlap spectrum (plus odometry-grade and
+    fault-grade prior errors), each pair driven through a 2-frame App so
+    the recorded (overlap, alignability) features are EXACTLY the fused
+    step's gate-time values, labelled a failure when the registered pose
+    misses ground truth by more than `failure_t_err` (the "Accuracy vs
+    Overlap" criterion, scaled to outdoor noise).
+
+    Returns (features (N, 2) [overlap%, alignability 0-100], labels (N,))."""
+    import dataclasses as _dc
+
+    from ..cloud import AlignedCloud, Cloud
+    from ..pipeline.app import App
+    from ..pipeline.config import PipelineConfig
+    from .urban import make_urban_world, velodyne_scan
+
+    rng = np.random.default_rng(seed)
+    cfg = PipelineConfig(
+        working_mode="debug", segmentation_method="region_growing",
+        raw_capacity=16384, downsample_capacity=8192,
+        filtered_capacity=4096, min_cluster_size=30,
+        failure_prediction_mode=True,     # feature stage ON, no classifier
+        max_correction_magnitude=50.0,    # let failures REALIZE for labels
+        min_overlap_percent=0.0,
+        reference_update_frequency=1)
+    cfg.icp = _dc.replace(cfg.icp, trim_normal_space=True)
+
+    feats, labels = [], []
+    while len(labels) < n_pairs:
+        world_seed = int(rng.integers(1 << 30))
+        world = make_urban_world(seed=world_seed, extent=60.0, pitch=28.0,
+                                 street=12.0)
+        # street-following circuit poses (same geometry as the accuracy
+        # scenario) — pairs sampled along it
+        from ..eval.slam_accuracy import loop_circuit_poses
+
+        step = 3.0
+        lap = max(int(round(4 * world.pitch / step)), 8)
+        gt = loop_circuit_poses(world, lap_frames=lap, n_frames=lap,
+                                step=step).astype(np.float64)
+        for _ in range(8):
+            if len(labels) >= n_pairs:
+                break
+            a = int(rng.integers(0, lap - 1))
+            k = int(rng.integers(1, 11))          # 3..30 m baseline
+            b = min(a + k, lap - 1)
+            if b == a:
+                continue
+            T_ab = (np.linalg.inv(gt[a]) @ gt[b]).astype(np.float32)
+            # odometry-grade prior error, with occasional fault-grade slip
+            t_sig = 0.3 if rng.random() < 0.25 else 0.05
+            dt = rng.normal(0, t_sig, 3)
+            dt[2] *= 0.2
+            dyaw = np.deg2rad(rng.normal(0, 1.0))
+            c, s = np.cos(dyaw), np.sin(dyaw)
+            pert = np.eye(4, dtype=np.float32)
+            pert[:3, :3] = np.array([[c, -s, 0], [s, c, 0], [0, 0, 1]],
+                                    np.float32)
+            pert[:3, 3] = dt
+            prior = (T_ab @ pert).astype(np.float32)
+
+            def scan_at(pose, sd):
+                sc = velodyne_scan(world, pose, n_beams=48, n_azimuth=384,
+                                   max_range=25.0, noise=0.02, seed=sd)
+                if len(sc) > n_points:
+                    sel = rng.choice(len(sc), n_points, replace=False)
+                    sc = sc[sel]
+                return sc
+
+            # world frame := pose a (scan_a at identity)
+            scan_a = scan_at(gt[a], world_seed % 100000 + a)
+            scan_b = scan_at(gt[b], world_seed % 100000 + b)
+            if len(scan_a) < 2000 or len(scan_b) < 2000:
+                continue
+            body_a = (scan_a - gt[a][:3, 3]) @ gt[a][:3, :3]
+            body_b = (scan_b - gt[b][:3, 3]) @ gt[b][:3, :3]
+            read_odom = (body_b @ prior[:3, :3].T
+                         + prior[:3, 3]).astype(np.float32)
+
+            app = App(cfg)
+            eye = np.eye(4, dtype=np.float32)
+            app.process_cloud(AlignedCloud.create(
+                0, Cloud.from_numpy(body_a.astype(np.float32),
+                                    capacity=cfg.raw_capacity), eye))
+            res = app.process_cloud(AlignedCloud.create(
+                1_000_000, Cloud.from_numpy(read_odom,
+                                            capacity=cfg.raw_capacity),
+                prior))
+            t_err = float(np.linalg.norm(
+                np.asarray(res.corrected_pose)[:3, 3] - T_ab[:3, 3]))
+            feats.append((res.octree_overlap, res.alignability))
+            labels.append(1.0 if t_err > failure_t_err else 0.0)
+    return np.asarray(feats, np.float32), np.asarray(labels, np.float32)
+
+
 def write_label_file(path: str, features: np.ndarray,
                      labels: np.ndarray) -> None:
     """Write the reference's label format: `id overlap alignability label`
@@ -89,9 +194,14 @@ def main(argv=None) -> int:
     p.add_argument("--n-train", type=int, default=90)
     p.add_argument("--n-test", type=int, default=30)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--urban", action="store_true",
+                   help="urban raycast domain through the App feature path "
+                        "(deployment-domain classifier training)")
     args = p.parse_args(argv)
-    ftr, ltr = generate_labelled_pairs(args.n_train, seed=args.seed)
-    fte, lte = generate_labelled_pairs(args.n_test, seed=args.seed + 1)
+    gen = (generate_urban_labelled_pairs if args.urban
+           else generate_labelled_pairs)
+    ftr, ltr = gen(args.n_train, seed=args.seed)
+    fte, lte = gen(args.n_test, seed=args.seed + 1)
     write_label_file(args.output_train, ftr, ltr)
     write_label_file(args.output_test, fte, lte)
     print(f"train: {len(ltr)} ({int(ltr.sum())} failures), "

@@ -249,10 +249,14 @@ def test_two_process_real_solvers(tmp_path):
     np.testing.assert_allclose(reports[0]["icp_T"], reports[1]["icp_T"],
                                atol=1e-6)
 
-    # record the 2-process run in the scaling artifact
+    # record the 2-process run in the scaling artifact — only when
+    # regenerating artifacts explicitly (AICP_UPDATE_ARTIFACTS=1): a plain
+    # test run must not dirty the committed file with per-machine values
+    # (r4 advisor)
     scaling_path = os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), "MULTICHIP_SCALING.json")
-    if os.path.exists(scaling_path):
+    if (os.environ.get("AICP_UPDATE_ARTIFACTS") == "1"
+            and os.path.exists(scaling_path)):
         with open(scaling_path) as f:
             doc = json.load(f)
         doc["two_process"] = {
