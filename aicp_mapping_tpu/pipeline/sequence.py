@@ -153,7 +153,8 @@ class SequenceRunner:
 
     def run_clouds(self, items: Iterable[tuple[int, np.ndarray, np.ndarray]],
                    prep_workers: int = 1, prep_window: int = 2,
-                   batch_h2d: int = 0) -> list[FrameResult]:
+                   batch_h2d: int = 0, flush: bool = True
+                   ) -> list[FrameResult]:
         """items: (utime, points (N,3), prior_pose (4,4)).
 
         Host wire prep (native voxel + quantize + H2D enqueue) runs up to
@@ -167,7 +168,13 @@ class SequenceRunner:
         `batch_h2d` > 1 (quantized wire format only) preps that many
         frames per worker task and ships them as ONE stacked transfer
         (`wire_batch`): per-transfer overhead on a tunneled chip amortizes
-        across the window."""
+        across the window.
+
+        `flush=False` leaves the submission pipeline FULL on return (up to
+        pipeline_depth frames in flight; their results arrive on the next
+        call or App.flush): back-to-back calls then stream continuously
+        with no fill/drain bubble between them — how a deployment runs,
+        and how steady-state throughput must be measured."""
         from concurrent.futures import ThreadPoolExecutor
 
         items = list(items)
@@ -189,7 +196,8 @@ class SequenceRunner:
                         ac = AlignedCloud.create(
                             utime, cloud, np.asarray(pose, np.float32))
                         results.extend(self._drive(ac))
-            results.extend(self.app.flush())
+            if flush:
+                results.extend(self.app.flush())
             return results
         with ThreadPoolExecutor(max_workers=prep_workers) as ex:
             futs = {
@@ -205,7 +213,8 @@ class SequenceRunner:
                 ac = AlignedCloud.create(utime, cloud,
                                          np.asarray(pose, np.float32))
                 results.extend(self._drive(ac))
-        results.extend(self.app.flush())
+        if flush:
+            results.extend(self.app.flush())
         return results
 
 
